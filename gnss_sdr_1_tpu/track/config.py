@@ -1,0 +1,77 @@
+"""Tracking configuration.
+
+Reference parity: Dll_Pll_Conf (src/algorithms/tracking/libs/
+dll_pll_conf.h:40-80) — field names mirror the reference's config properties
+so reference .conf files translate mechanically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    fs_hz: float
+    code_length_chips: int
+    chip_rate_chips_s: float
+    carrier_freq_hz: float
+    n_channels: int = 12
+    code_samples_per_chip: int = 1     # local replica sampling (2 for sinBOC)
+
+    # loop bandwidths / orders (wide = pull-in, narrow = steady state)
+    pll_bw_hz: float = 35.0
+    dll_bw_hz: float = 2.0
+    pll_bw_narrow_hz: float = 5.0
+    dll_bw_narrow_hz: float = 0.75
+    pll_filter_order: int = 3
+    dll_filter_order: int = 2
+    enable_fll_pull_in: bool = False
+    fll_bw_hz: float = 35.0
+    pull_in_time_s: float = 2.0        # FLL transitory duration
+
+    # correlator geometry
+    early_late_space_chips: float = 0.5
+    very_early_late_space_chips: float = 0.8
+    veml: bool = False                 # 5-tap VE/E/P/L/VL (Galileo E1)
+
+    # lock / CN0 supervision (defaults from gnss_sdr_flags.cc:53-59)
+    cn0_samples: int = 20
+    cn0_min_dbhz: float = 25.0
+    max_lock_fail: int = 50
+    carrier_lock_th: float = 0.85
+    # epochs after pull-in before lock supervision starts counting (the
+    # reference instead relies on its FSM re-acquiring dropped channels;
+    # a grace period avoids churn during PLL pull-in transients)
+    supervision_grace_epochs: int = 600
+
+    @property
+    def samples_per_code(self) -> float:
+        return self.fs_hz * self.code_length_chips / self.chip_rate_chips_s
+
+    @property
+    def epoch_samples_max(self) -> int:
+        """Static upper bound on one integration block
+        (d_current_prn_length_samples varies +-; +-10 kHz Doppler shifts the
+        code rate by ~1e-5 relative)."""
+        return int(math.floor(self.samples_per_code * (1.0 + 1e-4))) + 2
+
+    @property
+    def code_period_s(self) -> float:
+        return self.code_length_chips / self.chip_rate_chips_s
+
+    @property
+    def n_taps(self) -> int:
+        return 5 if self.veml else 3
+
+    def tap_shifts_chips(self) -> list[float]:
+        el = self.early_late_space_chips
+        if self.veml:
+            vl = self.very_early_late_space_chips
+            return [-vl, -el, 0.0, el, vl]
+        return [-el, 0.0, el]
+
+    @property
+    def prompt_index(self) -> int:
+        return 2 if self.veml else 1

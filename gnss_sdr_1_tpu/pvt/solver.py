@@ -1,0 +1,135 @@
+"""Single-point least-squares PVT solver.
+
+Reference parity: src/algorithms/PVT/libs/ls_pvt.cc / hybrid_ls_pvt.cc
+(iterative LS with earth-rotation and satellite clock handling; Bancroft
+init in pvt_solution.cc) and rtklib_pntpos.cc estpos.  Velocity from
+Doppler via the same geometry (LS on range rates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..constants import SPEED_OF_LIGHT_M_S, GPS_OMEGA_EARTH_DOT
+from ..telemetry.lnav import GpsEphemeris
+from .ephemeris import satellite_clock_correction, satellite_position_velocity
+from .geodesy import az_el, dops, ecef_to_llh
+
+
+@dataclasses.dataclass
+class PvtSolution:
+    valid: bool
+    rx_ecef_m: np.ndarray          # [3]
+    rx_clock_bias_s: float
+    rx_vel_ecef_ms: np.ndarray     # [3]
+    rx_clock_drift_s_s: float
+    rx_time_tow_s: float           # corrected receiver TOW
+    lat_deg: float = 0.0
+    lon_deg: float = 0.0
+    height_m: float = 0.0
+    dops: dict | None = None
+    n_sats: int = 0
+    residuals_m: np.ndarray | None = None
+
+
+def _rotate_earth(pos: np.ndarray, tau: float) -> np.ndarray:
+    """Rotate satellite position by earth rotation during signal flight
+    (sagnac correction; ls_pvt.cc rot_satpos / rtklib earth rotation)."""
+    theta = GPS_OMEGA_EARTH_DOT * tau
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([
+        c * pos[0] + s * pos[1],
+        -s * pos[0] + c * pos[1],
+        pos[2],
+    ])
+
+
+def solve_pvt(
+    ephemerides: dict[int, GpsEphemeris],
+    pseudoranges_m: dict[int, float],
+    rx_tow_s: float,
+    dopplers_hz: dict[int, float] | None = None,
+    carrier_freq_hz: float = 1575.42e6,
+    max_iter: int = 10,
+) -> PvtSolution:
+    """Iterated LS position (+velocity if Dopplers given) at receiver epoch
+    rx_tow_s (the uncorrected receiver clock's TOW when the measurements
+    were formed)."""
+    prns = [p for p in sorted(pseudoranges_m) if p in ephemerides]
+    n = len(prns)
+    invalid = PvtSolution(False, np.zeros(3), 0.0, np.zeros(3), 0.0, rx_tow_s)
+    if n < 4:
+        return invalid
+
+    pr = np.array([pseudoranges_m[p] for p in prns])
+    xyz = np.zeros(3)
+    dt_rx = 0.0
+    sat_pos = np.zeros((n, 3))
+    sat_vel = np.zeros((n, 3))
+    sat_clk = np.zeros(n)
+    h = np.zeros((n, 4))
+
+    for _ in range(max_iter):
+        for i, p in enumerate(prns):
+            eph = ephemerides[p]
+            # signal flight time: remove the receiver clock bias estimate
+            # from the raw pseudorange before using it as a time interval
+            tau = pr[i] / SPEED_OF_LIGHT_M_S - dt_rx
+            t_tx = rx_tow_s - dt_rx - tau
+            clk = satellite_clock_correction(eph, t_tx)
+            t_tx -= clk  # broadcast time -> GPS time
+            pos, vel = satellite_position_velocity(eph, t_tx)
+            sat_pos[i] = _rotate_earth(pos, tau + clk)
+            sat_vel[i] = vel
+            sat_clk[i] = satellite_clock_correction(eph, t_tx)
+        rho = np.linalg.norm(sat_pos - xyz, axis=1)
+        los = (xyz - sat_pos) / rho[:, None]
+        h[:, :3] = los
+        h[:, 3] = 1.0
+        pred = rho + SPEED_OF_LIGHT_M_S * (dt_rx - sat_clk)
+        resid = pr - pred
+        dx, *_ = np.linalg.lstsq(h, resid, rcond=None)
+        xyz = xyz + dx[:3]
+        dt_rx = dt_rx + dx[3] / SPEED_OF_LIGHT_M_S
+        if np.linalg.norm(dx[:3]) < 1e-4:
+            break
+    else:
+        pass
+    if not np.all(np.isfinite(xyz)):
+        return invalid
+
+    vel_xyz = np.zeros(3)
+    drift = 0.0
+    if dopplers_hz is not None:
+        # Measurement model: -lambda*f_d = rho_dot + c*drift_rx
+        #                    = (v_sat - v_rx) . e + c*drift_rx
+        # with e the rx->sat unit vector = -h[:, :3].  In the h basis
+        # (rows [-e, 1]) the unknown [v_rx; c*drift] satisfies
+        # h @ u = -(v_sat . e + lambda*f_d).
+        lam = SPEED_OF_LIGHT_M_S / carrier_freq_hz
+        fd = np.array([dopplers_hz[p] for p in prns])
+        e = -h[:, :3]
+        sat_rate = np.sum(sat_vel * e, axis=1)
+        rhs = -(sat_rate + lam * fd)
+        sol, *_ = np.linalg.lstsq(h, rhs, rcond=None)
+        vel_xyz = sol[:3]
+        drift = sol[3] / SPEED_OF_LIGHT_M_S
+
+    lat, lon, hgt = ecef_to_llh(xyz)
+    return PvtSolution(
+        valid=True,
+        rx_ecef_m=xyz,
+        rx_clock_bias_s=dt_rx,
+        rx_vel_ecef_ms=vel_xyz,
+        rx_clock_drift_s_s=drift,
+        rx_time_tow_s=rx_tow_s - dt_rx,
+        lat_deg=float(np.degrees(lat)),
+        lon_deg=float(np.degrees(lon)),
+        height_m=float(hgt),
+        dops=dops(h, xyz),
+        n_sats=n,
+        residuals_m=pr - (np.linalg.norm(sat_pos - xyz, axis=1)
+                          + SPEED_OF_LIGHT_M_S * (dt_rx - sat_clk)),
+    )

@@ -1,0 +1,239 @@
+"""Block-synchronous GNSS receiver pipeline.
+
+Reference parity: ControlThread::run (control_thread.cc:239) +
+GNSSFlowgraph channel management (gnss_flowgraph.cc:1058-1104): satellite
+search list, acquisition -> channel assignment, tracking supervision with
+satellite recycling, telemetry/observables/PVT fan-in.  The whole data plane
+runs as two jitted device programs (batched PCPS + the tracking scan); the
+lifecycle FSM stays host-side between blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from ..acquire import AcqConfig, PcpsAcquisition
+from ..codes import generate_code
+from ..constants import SIGNALS, SignalSpec
+from ..observables import ChannelEpochHistory, compute_observables
+from ..pvt.solver import PvtSolution, solve_pvt
+from ..telemetry.decoder import LnavDecoder
+from ..track import TrackConfig, TrackingEngine
+
+log = logging.getLogger("gnss_sdr_1_tpu.receiver")
+
+
+@dataclasses.dataclass
+class ReceiverConfig:
+    fs_hz: float = 4_000_000.0
+    signal_id: str = "1C"
+    n_channels: int = 8
+    prn_search: tuple[int, ...] = tuple(range(1, 33))
+    # acquisition
+    doppler_max_hz: float = 5000.0
+    doppler_step_hz: float = 250.0
+    acq_threshold: float = 2.0
+    acq_use_cfar: bool = False
+    acq_dwells: int = 2
+    acq_two_steps: bool = True
+    doppler_step2_hz: float = 40.0
+    num_doppler_bins_step2: int = 10
+    # tracking
+    pll_bw_hz: float = 25.0
+    dll_bw_hz: float = 2.0
+    enable_fll_pull_in: bool = False
+    pull_in_time_s: float = 0.3
+    # pipeline
+    block_ms: int = 40
+    obs_interval_ms: int = 20
+    reacq_interval_blocks: int = 25
+
+    @property
+    def spec(self) -> SignalSpec:
+        return SIGNALS[self.signal_id]
+
+
+class Receiver:
+    """Single-constellation single-band receiver (GPS L1 C/A first)."""
+
+    def __init__(self, cfg: ReceiverConfig):
+        self.cfg = cfg
+        spec = cfg.spec
+        fs = cfg.fs_hz
+        self.samples_per_code = int(round(fs * spec.code_period_s))
+        self._codes = {p: generate_code(cfg.signal_id, p) for p in cfg.prn_search}
+
+        self.acq = PcpsAcquisition(
+            AcqConfig(
+                fs_hz=fs,
+                samples_per_code=self.samples_per_code,
+                samples_per_chip=max(1, int(round(fs / spec.code_rate_chips_s))),
+                doppler_max_hz=cfg.doppler_max_hz,
+                doppler_step_hz=cfg.doppler_step_hz,
+                max_dwells=cfg.acq_dwells,
+                use_cfar=cfg.acq_use_cfar,
+                threshold=cfg.acq_threshold,
+                make_two_steps=cfg.acq_two_steps,
+                doppler_step2_hz=cfg.doppler_step2_hz,
+                num_doppler_bins_step2=cfg.num_doppler_bins_step2,
+            ),
+            self._codes,
+            fs_code_rate=(spec.code_rate_chips_s, spec.code_length_chips),
+        )
+        self.trk = TrackingEngine(
+            TrackConfig(
+                fs_hz=fs,
+                code_length_chips=spec.code_length_chips,
+                chip_rate_chips_s=spec.code_rate_chips_s,
+                carrier_freq_hz=spec.carrier_freq_hz,
+                n_channels=cfg.n_channels,
+                pll_bw_hz=cfg.pll_bw_hz,
+                dll_bw_hz=cfg.dll_bw_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                pull_in_time_s=cfg.pull_in_time_s,
+            ),
+            np.stack([self._codes[p] for p in self.acq.prns]),
+        )
+        self._slot_of_prn = {p: i for i, p in enumerate(self.acq.prns)}
+
+        self.state = self.trk.init_state()
+        self.channel_prn: list[int | None] = [None] * cfg.n_channels
+        self.decoders: dict[int, LnavDecoder] = {}
+        self.histories: dict[int, ChannelEpochHistory] = {}
+        self.sym_count: dict[int, int] = {}
+        self.rx_tow_s: float | None = None
+        self.rx_tow_sample: int | None = None
+        self.solutions: list[PvtSolution] = []
+        self._pos = 0          # absolute sample index of next block start
+        self._blocks_done = 0
+        self._next_obs_sample = None
+
+    # ---------------- channel lifecycle ----------------
+
+    def _acquire_and_assign(self, samples_abs_offset: int, samples: np.ndarray) -> None:
+        """Run acquisition on idle PRNs, assign positives to idle channels
+        (gnss_flowgraph.cc apply_action satellite recycling analogue)."""
+        idle_channels = [c for c, p in enumerate(self.channel_prn) if p is None]
+        if not idle_channels:
+            return
+        res = self.acq.acquire(samples, samplestamp=samples_abs_offset)
+        tracked = {p for p in self.channel_prn if p is not None}
+        order = np.argsort(-res.test_stat)
+        for k in order:
+            prn = self.acq.prns[k]
+            if not res.positive[k] or prn in tracked:
+                continue
+            if not idle_channels:
+                break
+            ch = idle_channels.pop(0)
+            self.channel_prn[ch] = prn
+            self.state = self.trk.activate_channel(
+                self.state, ch, self._slot_of_prn[prn],
+                float(res.delay_samples[k]), float(res.doppler_hz[k]),
+                samples_abs_offset, self._pos,
+            )
+            self.decoders[prn] = LnavDecoder(prn)
+            self.histories[prn] = ChannelEpochHistory()
+            self.sym_count[prn] = 0
+            log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
+                     ch, prn, res.delay_samples[k], res.doppler_hz[k],
+                     res.test_stat[k])
+
+    def _harvest(self, outs, block_offset_abs: int) -> None:
+        """Stream tracking epochs into telemetry decoders + histories."""
+        valid = np.asarray(outs.valid)            # [E, C]
+        starts = np.asarray(outs.start)
+        corr = np.asarray(outs.correlators)
+        dops = np.asarray(outs.carrier_doppler_hz)
+        active = np.asarray(outs.active)
+        p_idx = self.trk.cfg.prompt_index
+        for ch, prn in enumerate(self.channel_prn):
+            if prn is None:
+                continue
+            v = valid[:, ch]
+            if not v.any():
+                if not bool(active[-1, ch]):
+                    log.info("ch %d PRN %d lost lock — releasing", ch, prn)
+                    self.channel_prn[ch] = None
+                continue
+            prompts = corr[v, ch, p_idx]
+            ep_starts = starts[v, ch] + block_offset_abs
+            ep_dops = dops[v, ch]
+            dec = self.decoders[prn]
+            dec.push(prompts.real, ep_starts)
+            hist = self.histories[prn]
+            base_sym = self.sym_count[prn]
+            for k in range(len(prompts)):
+                tow = dec.tow_at_symbol(base_sym + k)
+                if tow is not None:
+                    hist.push(int(ep_starts[k]), tow, float(ep_dops[k]))
+            self.sym_count[prn] = base_sym + len(prompts)
+            if not bool(active[-1, ch]):
+                log.info("ch %d PRN %d lost lock — releasing", ch, prn)
+                self.channel_prn[ch] = None
+
+    # ---------------- observables + PVT ----------------
+
+    def _observables_and_pvt(self) -> None:
+        cfg = self.cfg
+        tick = int(round(cfg.fs_hz * cfg.obs_interval_ms * 1e-3))
+        ready_hist = {
+            p: h for p, h in self.histories.items()
+            if p in self.decoders and self.decoders[p].ephemeris_complete
+            and len(h.start_samples) >= 2
+        }
+        if len(ready_hist) < 4:
+            return
+        if self._next_obs_sample is None:
+            earliest = max(h.start_samples[0] for h in ready_hist.values())
+            self._next_obs_sample = ((earliest // tick) + 1) * tick
+        # process all ticks fully covered by every ready history
+        covered = min(h.start_samples[-1] for h in ready_hist.values())
+        while self._next_obs_sample <= covered:
+            rx_sample = self._next_obs_sample
+            if self.rx_tow_s is None:
+                rx_tow, obs = compute_observables(ready_hist, rx_sample, cfg.fs_hz, None)
+                if obs:
+                    self.rx_tow_s = rx_tow
+                    self.rx_tow_sample = rx_sample
+            else:
+                rx_tow = self.rx_tow_s + (rx_sample - self.rx_tow_sample) / cfg.fs_hz
+                _, obs = compute_observables(ready_hist, rx_sample, cfg.fs_hz, rx_tow)
+            if len(obs) >= 4:
+                ephs = {p: self.decoders[p].ephemeris for p in obs}
+                sol = solve_pvt(
+                    ephs,
+                    {p: o.pseudorange_m for p, o in obs.items()},
+                    rx_tow,
+                    dopplers_hz={p: o.doppler_hz for p, o in obs.items()},
+                    carrier_freq_hz=cfg.spec.carrier_freq_hz,
+                )
+                if sol.valid:
+                    self.solutions.append(sol)
+            self._next_obs_sample += tick
+
+    # ---------------- main loop ----------------
+
+    def process(self, samples: np.ndarray) -> list[PvtSolution]:
+        """Run the receiver over a full capture (complex64 at fs)."""
+        cfg = self.cfg
+        base = int(round(cfg.fs_hz * cfg.block_ms * 1e-3))
+        nmax = self.trk.cfg.epoch_samples_max
+        total = len(samples)
+        self._pos = 0
+        while self._pos + base + nmax <= total:
+            if self._blocks_done % cfg.reacq_interval_blocks == 0:
+                need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
+                if self._pos + need <= total:
+                    self._acquire_and_assign(self._pos, samples[self._pos : self._pos + need])
+            block = samples[self._pos : self._pos + base + nmax]
+            block_offset = self._pos
+            self.state, outs = self.trk.track_block(block, self.state, base)
+            self._harvest(outs, block_offset)
+            self._observables_and_pvt()
+            self._pos += base
+            self._blocks_done += 1
+        return self.solutions

@@ -25,6 +25,7 @@ from ..constants import SignalSpec
 class SatParams:
     prn: int
     doppler_hz: float = 0.0
+    doppler_rate_hz_s: float = 0.0  # carrier Doppler drift (dynamics)
     delay_chips: float = 0.0        # code delay at t=0 [chips]
     cn0_dbhz: float = 45.0
     phase_rad: float = 0.0
@@ -48,13 +49,15 @@ def generate_baseband(
     for sat in sats:
         code = np.asarray(codes_by_prn[sat.prn], dtype=np.float64)
         code_len = len(code)
-        code_rate = spec.code_rate_chips_s * (1.0 + sat.doppler_hz / spec.carrier_freq_hz)
-        chips = (t * code_rate) - sat.delay_chips
+        fc = spec.carrier_freq_hz
+        # code Doppler coupled to carrier Doppler (+ rate): chips(t) =
+        # Rc*(t + (fd*t + 0.5*rate*t^2)/fc) - delay
+        dil = (sat.doppler_hz * t + 0.5 * sat.doppler_rate_hz_s * t * t) / fc
+        chips = spec.code_rate_chips_s * (t + dil) - sat.delay_chips
         code_idx = np.floor(chips).astype(np.int64)
         c = code[np.mod(code_idx, code_len)]
         if sat.nav_bits is not None:
             bits = np.asarray(sat.nav_bits, dtype=np.float64)
-            bit_rate = spec.bit_rate_bps * (1.0 + sat.doppler_hz / spec.carrier_freq_hz)
             chips_per_bit = spec.code_rate_chips_s / spec.bit_rate_bps
             bit_idx = np.floor(chips / chips_per_bit).astype(np.int64)
             d = bits[np.clip(bit_idx, 0, len(bits) - 1)]
@@ -63,8 +66,9 @@ def generate_baseband(
             d = 1.0
         # CN0 against unit-variance complex noise: A^2 * fs / sigma^2 = cn0
         amp = np.sqrt(10.0 ** (sat.cn0_dbhz / 10.0) / fs_hz) if noise else 1.0
-        carrier = np.exp(1j * (2.0 * np.pi * sat.doppler_hz * t + sat.phase_rad))
-        out += amp * d * c * carrier
+        phase = (2.0 * np.pi * (sat.doppler_hz * t + 0.5 * sat.doppler_rate_hz_s * t * t)
+                 + sat.phase_rad)
+        out += amp * d * c * np.exp(1j * phase)
     if noise:
         out += (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * np.sqrt(0.5)
     return out.astype(np.complex64)

@@ -1,0 +1,163 @@
+"""Tracking unit/integration tests.
+
+Mirrors the reference's tracking tier (gps_l1_ca_dll_pll_tracking_test.cc):
+convergence on a synthetic signal, plus the numerical contracts of
+SURVEY.md A.1-A.7.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnss_sdr_1_tpu.codes import gps_l1ca_code
+from gnss_sdr_1_tpu.constants import GPS_L1_CA
+from gnss_sdr_1_tpu.ops.multicorrelator import multicorrelate
+from gnss_sdr_1_tpu.siggen import SatParams, generate_baseband
+from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+from gnss_sdr_1_tpu.track.discriminators import (
+    dll_nc_e_minus_l_normalized,
+    fll_four_quadrant_atan,
+    pll_cloop_two_quadrant_atan,
+)
+from gnss_sdr_1_tpu.track.loop_filter import (
+    iir_apply,
+    iir_coefficients,
+    iir_init,
+)
+
+FS = 4e6
+
+
+def test_multicorrelator_matches_reference_formulas():
+    """A.1/A.2: out[k] = sum in[n]*exp(-j(phi+dphi*n))*code[floor(step*n +
+    shift - rem) mod L]."""
+    rng = np.random.default_rng(0)
+    n = 1000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    code = gps_l1ca_code(1)
+    shifts = np.array([-2.0, 0.0, 2.0], dtype=np.float32)
+    step, rem, phi, dphi = 0.25575, 0.37, 0.81, 2.1e-3
+    out = np.asarray(multicorrelate(
+        jnp.asarray(x), jnp.asarray(code), jnp.asarray(shifts),
+        jnp.float32(step), jnp.float32(rem), jnp.float32(phi),
+        jnp.float32(dphi), jnp.float32(0.0), jnp.float32(n),
+    ))
+    nn = np.arange(n)
+    carrier = np.exp(-1j * (phi + dphi * nn))
+    scale = np.sqrt(n)  # noise-correlation magnitude scale
+    for k, sh in enumerate(shifts):
+        # float32 index math, as in the volk resampler (and our kernel)
+        chips = (np.float32(step) * nn.astype(np.float32)
+                 + np.float32(sh) - np.float32(rem))
+        idx = np.mod(np.floor(chips).astype(int), 1023)
+        ref = np.sum(x * carrier * code[idx])
+        assert abs(out[k] - ref) < 5e-3 * scale
+
+
+def test_discriminators_contracts():
+    """A.3 formulas."""
+    p = jnp.asarray(np.array([1.0 + 0.5j]))
+    assert float(pll_cloop_two_quadrant_atan(p)[0]) == pytest.approx(
+        np.arctan(0.5), rel=1e-6)
+    # two-quadrant: insensitive to sign of I (bit flips)
+    assert float(pll_cloop_two_quadrant_atan(-p)[0]) == pytest.approx(
+        np.arctan(0.5), rel=1e-6)
+    e = jnp.asarray(np.array([3.0 + 0j]))
+    l = jnp.asarray(np.array([1.0 + 0j]))
+    assert float(dll_nc_e_minus_l_normalized(e, l)[0]) == pytest.approx(
+        0.5 * (3 - 1) / (3 + 1), rel=1e-6)
+    # FLL: rotation by theta over dt -> theta/dt (rad/s)
+    th, dt = 0.3, 1e-3
+    p1 = jnp.asarray(np.array([1.0 + 0j]))
+    p2 = jnp.asarray(np.array([np.exp(1j * th)]))
+    assert float(fll_four_quadrant_atan(p1, p2, 0.0, dt)[0]) == pytest.approx(
+        th / dt, rel=1e-5)
+
+
+def test_loop_filter_coefficients_order2():
+    """A.5: order-2 coefficients, Kaplan & Hegarty Table 5.6 bilinear form."""
+    bn, t = 2.0, 1e-3
+    b_in, b_out = iir_coefficients(bn, t, 2, False)
+    zeta = 1 / np.sqrt(2)
+    wn = bn * 8 * zeta / (4 * zeta**2 + 1)
+    g1, g2 = wn * wn, 2 * zeta * wn
+    assert b_in[0] == pytest.approx(g1 * t / 2 + g2, rel=1e-6)
+    assert b_in[1] == pytest.approx(g1 * t / 2 - g2, rel=1e-6)
+    assert b_out[0] == 1.0
+    # DC gain of the first-order-accumulator form is unbounded (integrator);
+    # a constant input must integrate
+    st = iir_init(())
+    b_in_j, b_out_j = jnp.asarray(b_in), jnp.asarray(b_out)
+    y_prev = 0.0
+    for _ in range(10):
+        st, y = iir_apply(st, jnp.float32(1.0), b_in_j, b_out_j)
+    assert float(y) > y_prev
+
+
+def _track(x, prn, acq_delay, acq_dop, n_ch=1, **cfg_kw):
+    cfg = TrackConfig(fs_hz=FS, code_length_chips=1023,
+                      chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                      n_channels=n_ch, **cfg_kw)
+    eng = TrackingEngine(cfg, np.stack([gps_l1ca_code(prn)] * n_ch))
+    st = eng.init_state()
+    st = eng.activate_channel(st, 0, 0, acq_delay, acq_dop, 0, 0)
+    base, nmax = 40000, cfg.epoch_samples_max
+    outs = {"dop": [], "cn0": [], "corr": [], "start": []}
+    pos = 0
+    while pos + base + nmax <= len(x):
+        st, out = eng.track_block(x[pos : pos + base + nmax], st, base)
+        v = np.asarray(out.valid[:, 0])
+        outs["dop"] += list(np.asarray(out.carrier_doppler_hz[:, 0])[v])
+        outs["cn0"] += list(np.asarray(out.cn0_dbhz[:, 0])[v])
+        outs["corr"] += list(np.asarray(out.correlators[:, 0, :])[v])
+        outs["start"] += list(np.asarray(out.start[:, 0])[v] + pos)
+        pos += base
+    return st, {k: np.asarray(v) for k, v in outs.items()}
+
+
+def test_tracking_convergence_and_code_phase():
+    td, tdc, cn0 = 1777.0, 300.6, 45.0
+    x = generate_baseband(
+        GPS_L1_CA, [SatParams(prn=1, doppler_hz=td, delay_chips=tdc,
+                              cn0_dbhz=cn0)],
+        {1: gps_l1ca_code(1)}, FS, 1.2, noise=True, seed=11)
+    st, o = _track(x, 1, tdc / 1.023e6 * FS + 1.0, td + 30.0)
+    assert bool(np.asarray(st.active)[0])
+    assert abs(np.mean(o["dop"][-100:]) - td) < 5.0
+    assert np.mean(o["cn0"][-50:]) > cn0 - 4.0
+    # code phase: epoch starts must sit on code-period boundaries of the
+    # signal: (start - delay_samples) mod T_prn ~ 0
+    t_prn = FS * 1023 / (1.023e6 * (1 + td / 1575.42e6))
+    delay_samples = tdc / 1.023e6 * FS
+    resid = np.mod(o["start"][-50:] - delay_samples + t_prn / 2, t_prn) - t_prn / 2
+    assert np.abs(resid).max() < 2.0
+
+
+def test_tracking_fll_pull_in():
+    td, tdc = -3100.0, 700.0
+    rng = np.random.default_rng(3)
+    bits = rng.choice([-1.0, 1.0], size=80)
+    x = generate_baseband(
+        GPS_L1_CA, [SatParams(prn=7, doppler_hz=td, delay_chips=tdc,
+                              cn0_dbhz=44, nav_bits=bits)],
+        {7: gps_l1ca_code(7)}, FS, 1.2, noise=True, seed=12)
+    st, o = _track(x, 7, tdc / 1.023e6 * FS, td + 200.0,
+                   enable_fll_pull_in=True, pull_in_time_s=0.25)
+    assert bool(np.asarray(st.active)[0])
+    assert abs(np.mean(o["dop"][-100:]) - td) < 5.0
+
+
+def test_lock_loss_releases_channel():
+    """Signal disappears -> CN0 collapses -> channel drops
+    (cn0_and_tracking_lock_status analogue, A.7)."""
+    x1 = generate_baseband(
+        GPS_L1_CA, [SatParams(prn=1, doppler_hz=500.0, delay_chips=10.0,
+                              cn0_dbhz=45)],
+        {1: gps_l1ca_code(1)}, FS, 1.0, noise=True, seed=5)
+    rng = np.random.default_rng(6)
+    x2 = ((rng.standard_normal(len(x1)) + 1j * rng.standard_normal(len(x1)))
+          * np.sqrt(0.5)).astype(np.complex64)
+    x = np.concatenate([x1, x2])
+    st, o = _track(x, 1, 10.0 / 1.023e6 * FS, 500.0,
+                   supervision_grace_epochs=100, max_lock_fail=20)
+    assert not bool(np.asarray(st.active)[0])

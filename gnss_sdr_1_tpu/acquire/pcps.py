@@ -122,19 +122,26 @@ def _flat_argmax(flat):
 
 @functools.partial(jax.jit, static_argnames=("eff", "spc", "samples_per_chip"))
 def _pcps_core(
-    x: jax.Array,             # [F] complex64, zero-padded input block
-    code_fft_conj: jax.Array,  # [C, F] complex64
-    wipeoffs: jax.Array,      # [D, F] complex64
-    prev_grid: jax.Array,     # [C, D, eff] float32 accumulated dwells
+    x_p: jax.Array,            # [F, 2] float32 planar input block (padded)
+    code_fft_conj_p: jax.Array,  # [C, F, 2] float32 planar conj(FFT(code))
+    wipeoffs_p: jax.Array,     # [D, F, 2] float32 planar Doppler wipe-offs
+    prev_grid: jax.Array,      # [C, D, eff] float32 accumulated dwells
     eff: int,
-    spc: int,                 # samples per code
+    spc: int,                  # samples per code
     samples_per_chip: int,
 ):
     """One non-coherent dwell over the full (channel, Doppler) grid.
 
-    Returns (grid, stats) where grid accumulates |corr|^2 and stats holds the
+    Boundary data is planar float32 (utils.planar — the TPU backend has no
+    complex transfers); all complex math stays inside the program.  Returns
+    (grid, stats) where grid accumulates |corr|^2 and stats holds the
     per-channel CFAR + peak-ratio statistics and peak locations.
     """
+    from ..utils.planar import unpack_complex
+
+    x = unpack_complex(x_p)
+    code_fft_conj = unpack_complex(code_fft_conj_p)
+    wipeoffs = unpack_complex(wipeoffs_p)
     f32 = jnp.float32
     C = code_fft_conj.shape[0]
     D = wipeoffs.shape[0]
@@ -173,8 +180,8 @@ def _pcps_core(
 
 @functools.partial(jax.jit, static_argnames=("eff", "spc", "n_bins2"))
 def _pcps_step2(
-    x: jax.Array,              # [F]
-    code_fft_conj: jax.Array,  # [C, F]
+    x_p: jax.Array,            # [F, 2] planar
+    code_fft_conj_p: jax.Array,  # [C, F, 2] planar
     doppler_center: jax.Array,  # [C] coarse Doppler per channel
     step2_hz: float,
     eff: int,
@@ -183,6 +190,10 @@ def _pcps_step2(
     fs_hz: float,
 ):
     """Fine-Doppler second pass on a narrow per-channel grid (d_step_two)."""
+    from ..utils.planar import unpack_complex
+
+    x = unpack_complex(x_p)
+    code_fft_conj = unpack_complex(code_fft_conj_p)
     F = x.shape[-1]
     n = jnp.arange(F, dtype=jnp.float32)
     k = jnp.arange(n_bins2, dtype=jnp.float32) - jnp.floor(n_bins2 / 2.0)
@@ -239,14 +250,18 @@ class PcpsAcquisition:
             buf = np.zeros(F, dtype=np.complex64)
             buf[: len(rep)] = rep
             sampled.append(np.conj(np.fft.fft(buf)).astype(np.complex64))
-        self._code_fft_conj = jnp.asarray(np.stack(sampled))
-        self._wipeoffs = jnp.asarray(_doppler_wipeoffs(cfg))
+        from ..utils.planar import to_planar
+
+        self._code_fft_conj = jnp.asarray(to_planar(np.stack(sampled)))
+        self._wipeoffs = jnp.asarray(to_planar(_doppler_wipeoffs(cfg)))
         self._threshold = cfg.derived_threshold() if cfg.use_cfar else cfg.threshold
         self._doppler_bins = cfg.doppler_bins_hz()
 
     def acquire(self, samples: np.ndarray, samplestamp: int = 0) -> AcqResult:
         """Acquire all channels from `samples` (>= max_dwells * coherent
         window, complex64 at fs)."""
+        from ..utils.planar import to_planar
+
         cfg = self.cfg
         F = cfg.fft_size
         need = cfg.coherent_samples
@@ -261,7 +276,8 @@ class PcpsAcquisition:
             chunk = samples[start : start + F]
             blk[: len(chunk)] = chunk
             grid, stats = _pcps_core(
-                jnp.asarray(blk), self._code_fft_conj, self._wipeoffs, grid,
+                jnp.asarray(to_planar(blk)), self._code_fft_conj,
+                self._wipeoffs, grid,
                 cfg.effective_size, cfg.samples_per_code, cfg.samples_per_chip,
             )
         stat_cfar, stat_ratio, delay, d_idx, _ = jax.device_get(stats)
@@ -273,7 +289,7 @@ class PcpsAcquisition:
             chunk = samples[:F]
             blk[: len(chunk)] = chunk
             delay_j, doppler_j = _pcps_step2(
-                jnp.asarray(blk), self._code_fft_conj,
+                jnp.asarray(to_planar(blk)), self._code_fft_conj,
                 jnp.asarray(doppler, dtype=jnp.float32),
                 cfg.doppler_step2_hz, cfg.effective_size,
                 cfg.samples_per_code, cfg.num_doppler_bins_step2, cfg.fs_hz,

@@ -144,9 +144,11 @@ class Receiver:
 
     def _harvest(self, outs, block_offset_abs: int) -> None:
         """Stream tracking epochs into telemetry decoders + histories."""
+        from ..utils.planar import from_planar_np
+
         valid = np.asarray(outs.valid)            # [E, C]
         starts = np.asarray(outs.start)
-        corr = np.asarray(outs.correlators)
+        corr = from_planar_np(np.asarray(outs.correlators))   # [E, C, K]
         dops = np.asarray(outs.carrier_doppler_hz)
         active = np.asarray(outs.active)
         p_idx = self.trk.cfg.prompt_index

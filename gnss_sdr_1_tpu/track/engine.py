@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.multicorrelator import multicorrelate
+from ..utils.planar import pack_complex, to_planar, unpack_complex
 from .config import TrackConfig
 from .discriminators import (
     dll_nc_e_minus_l_normalized,
@@ -54,7 +55,9 @@ _TWO_PI = 2.0 * np.pi
 
 
 class TrackState(NamedTuple):
-    """Per-channel loop state carried across epochs and blocks ([C] each)."""
+    """Per-channel loop state carried across epochs and blocks ([C] each).
+    Complex quantities are planar float32 [..., 2] (utils.planar) so the
+    state crosses the host<->device boundary without complex transfers."""
 
     active: jnp.ndarray            # bool — channel is tracking
     prn_slot: jnp.ndarray          # int32 index into the code table
@@ -66,8 +69,8 @@ class TrackState(NamedTuple):
     rem_carr_phase_rad: jnp.ndarray  # f32
     carr_filter: FllPllState       # (w, x) each [C]
     code_filter: IirState          # (inputs[C,3], outputs[C,3])
-    prev_prompt: jnp.ndarray       # c64 — previous Prompt (FLL)
-    prompt_hist: jnp.ndarray       # c64 [C, cn0_samples] sliding buffer
+    prev_prompt: jnp.ndarray       # f32 [C, 2] — previous Prompt (FLL)
+    prompt_hist: jnp.ndarray       # f32 [C, cn0_samples, 2] sliding buffer
     hist_count: jnp.ndarray        # int32 prompts accumulated
     lock_fail: jnp.ndarray         # int32 consecutive lock failures
     epochs_in_track: jnp.ndarray   # int32 epochs since pull-in
@@ -81,7 +84,7 @@ class TrackOutputs(NamedTuple):
     valid: jnp.ndarray             # bool — epoch processed
     start: jnp.ndarray             # int32 epoch start sample (block-relative)
     cur_len: jnp.ndarray           # int32 samples integrated
-    correlators: jnp.ndarray       # c64 [E, C, K]
+    correlators: jnp.ndarray       # f32 [E, C, K, 2] planar complex
     carrier_doppler_hz: jnp.ndarray
     code_freq_delta: jnp.ndarray   # chips/s above nominal
     rem_code_phase_samples: jnp.ndarray  # code phase at NEXT epoch start
@@ -157,8 +160,8 @@ class TrackingEngine:
             code_filter=IirState(
                 inputs=jnp.zeros((C, 3), f32), outputs=jnp.zeros((C, 3), f32)
             ),
-            prev_prompt=jnp.zeros(C, jnp.complex64),
-            prompt_hist=jnp.zeros((C, self.cfg.cn0_samples), jnp.complex64),
+            prev_prompt=jnp.zeros((C, 2), f32),
+            prompt_hist=jnp.zeros((C, self.cfg.cn0_samples, 2), f32),
             hist_count=zi,
             lock_fail=zi,
             epochs_in_track=zi,
@@ -216,8 +219,8 @@ class TrackingEngine:
                 inputs=state.code_filter.inputs.at[ch].set(0.0),
                 outputs=state.code_filter.outputs.at[ch].set(0.0),
             ),
-            prev_prompt=set_at(state.prev_prompt, 0.0 + 0.0j),
-            prompt_hist=state.prompt_hist.at[ch].set(0.0 + 0.0j),
+            prev_prompt=state.prev_prompt.at[ch].set(0.0),
+            prompt_hist=state.prompt_hist.at[ch].set(0.0),
             hist_count=set_at(state.hist_count, 0),
             lock_fail=set_at(state.lock_fail, 0),
             epochs_in_track=set_at(state.epochs_in_track, 0),
@@ -233,7 +236,7 @@ class TrackingEngine:
 
     # ---------------- device path ----------------
 
-    def _epoch_step(self, samples, state: TrackState, base: int):
+    def _epoch_step(self, samples_p, state: TrackState, base: int):
         cfg = self.cfg
         f32 = jnp.float32
         Nmax = cfg.epoch_samples_max
@@ -241,10 +244,12 @@ class TrackingEngine:
         valid = state.active & (state.start < jnp.int32(base))
 
         # --- correlation (A.1/A.2) ---
-        start_c = jnp.clip(state.start, 0, samples.shape[0] - Nmax)
-        segs = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(samples, (s,), (Nmax,))
-        )(start_c)                                             # [C, Nmax]
+        n_samp = samples_p.shape[0]
+        start_c = jnp.clip(state.start, 0, n_samp - Nmax)
+        segs_p = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(samples_p, (s, 0), (Nmax, 2))
+        )(start_c)                                             # [C, Nmax, 2]
+        segs = unpack_complex(segs_p)                          # [C, Nmax]
         code_rows = self._codes[state.prn_slot]                # [C, Lspc]
         spc = f32(cfg.code_samples_per_chip)
         chip_rate = f32(cfg.chip_rate_chips_s)
@@ -265,9 +270,10 @@ class TrackingEngine:
         t_int = state.cur_len.astype(f32) / f32(cfg.fs_hz)
 
         # --- discriminators + filters (A.3/A.5, run_dll_pll :914-996) ---
+        prev_prompt = unpack_complex(state.prev_prompt)
         carr_phase_err_cyc = pll_cloop_two_quadrant_atan(prompt) / f32(_TWO_PI)
         freq_err_hz = fll_four_quadrant_atan(
-            state.prev_prompt, prompt, f32(0.0), t_int
+            prev_prompt, prompt, f32(0.0), t_int
         ) / f32(_TWO_PI)
         fll_on = state.fll_on
         pll_in = jnp.where(fll_on, f32(0.0), carr_phase_err_cyc)
@@ -314,9 +320,10 @@ class TrackingEngine:
         # the same recursion expressed at epoch boundaries.
 
         # --- CN0 / lock supervision (A.7) ---
-        hist = jnp.concatenate(
-            [state.prompt_hist[:, 1:], prompt[:, None]], axis=1
+        hist_p = jnp.concatenate(
+            [state.prompt_hist[:, 1:], pack_complex(prompt)[:, None, :]], axis=1
         )
+        hist = unpack_complex(hist_p)
         hist_count = jnp.minimum(state.hist_count + 1, cfg.cn0_samples)
         hist_full = hist_count >= cfg.cn0_samples
         cn0 = cn0_svn_estimator(hist, f32(cfg.code_period_s))
@@ -356,8 +363,8 @@ class TrackingEngine:
             rem_carr_phase_rad=new_rem_carr,
             carr_filter=carr_filt,
             code_filter=code_filt,
-            prev_prompt=prompt,
-            prompt_hist=hist,
+            prev_prompt=pack_complex(prompt),
+            prompt_hist=hist_p,
             hist_count=hist_count,
             lock_fail=lock_fail,
             epochs_in_track=epochs_in_track,
@@ -369,7 +376,7 @@ class TrackingEngine:
             valid=valid,
             start=state.start,
             cur_len=state.cur_len,
-            correlators=jnp.where(valid[:, None], corr, 0.0 + 0.0j),
+            correlators=jnp.where(valid[:, None, None], pack_complex(corr), 0.0),
             carrier_doppler_hz=merged.carrier_doppler_hz,
             code_freq_delta=merged.code_freq_delta,
             rem_code_phase_samples=merged.rem_code_phase_samples,
@@ -390,17 +397,21 @@ class TrackingEngine:
     def track_block(self, samples: np.ndarray, state: TrackState, base: int):
         """Process one sample block.
 
-        `samples` must hold `base + epoch_samples_max` complex64 samples (the
-        tail overlaps the next block); every active channel advances through
-        all epochs that START within [0, base).  Returns (state_rebased,
-        TrackOutputs[E, C, ...]).
+        `samples`: complex64 host array (or planar float32 [S, 2]) holding
+        `base + epoch_samples_max` samples — the tail overlaps the next
+        block.  Every active channel advances through all epochs that START
+        within [0, base).  Returns (state_rebased, TrackOutputs[E, C, ...]).
         """
         n_epochs = base // (self._t0_int - 2) + 2
-        samples = jnp.asarray(samples, dtype=jnp.complex64)
+        samples = np.asarray(samples)
+        if np.iscomplexobj(samples):
+            samples = to_planar(samples)
         if samples.shape[0] < base + self.cfg.epoch_samples_max:
             raise ValueError(
                 f"block must be >= base+epoch_samples_max ="
                 f" {base + self.cfg.epoch_samples_max}, got {samples.shape[0]}"
             )
-        new_state, outs = self._block_fn(samples, state, base=base, n_epochs=n_epochs)
+        new_state, outs = self._block_fn(
+            jnp.asarray(samples), state, base=base, n_epochs=n_epochs
+        )
         return self.rebase(new_state, base), outs

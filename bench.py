@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Benchmark: real-time factor for 12-channel GPS L1 C/A tracking.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The baseline is the reference's real-time claim (RTF 1.0 on commodity CPUs,
+README.md:334); vs_baseline = measured RTF / 1.0.  North-star: RTF > 100
+(BASELINE.md).
+
+Runs on the default JAX platform (TPU under axon); if the device path fails
+it re-executes itself on the CPU backend so the driver always gets a line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DURATION_S = 5.0
+FS = 4.092e6          # 4 samples/chip
+N_CH = 12
+WARMUP_BLOCKS = 3
+
+
+def run_bench() -> dict:
+    import jax
+
+    platform = os.environ.get("GNSS_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    dev = jax.devices()[0].platform
+
+    from gnss_sdr_1_tpu.codes import gps_l1ca_code
+    from gnss_sdr_1_tpu.constants import GPS_L1_CA
+    from gnss_sdr_1_tpu.siggen import SatParams, generate_baseband
+    from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+    from gnss_sdr_1_tpu.utils import enable_persistent_compilation_cache
+    from gnss_sdr_1_tpu.utils.planar import to_planar
+
+    enable_persistent_compilation_cache()
+
+    rng = np.random.default_rng(42)
+    prns = list(range(1, N_CH + 1))
+    sats = [
+        SatParams(
+            prn=p,
+            doppler_hz=float(rng.uniform(-4000, 4000)),
+            delay_chips=float(rng.uniform(0, 1023)),
+            cn0_dbhz=44.0,
+            nav_bits=rng.choice([-1.0, 1.0], size=int(DURATION_S * 50) + 8),
+        )
+        for p in prns
+    ]
+    codes = {p: gps_l1ca_code(p) for p in prns}
+    x = generate_baseband(GPS_L1_CA, sats, codes, FS, DURATION_S, noise=True)
+
+    cfg = TrackConfig(
+        fs_hz=FS, code_length_chips=1023, chip_rate_chips_s=1.023e6,
+        carrier_freq_hz=1575.42e6, n_channels=N_CH,
+    )
+    eng = TrackingEngine(cfg, np.stack([codes[p] for p in prns]))
+    st = eng.init_state()
+    for ch, p in enumerate(prns):
+        st = eng.activate_channel(
+            st, ch, ch, sats[ch].delay_chips / 1.023e6 * FS,
+            sats[ch].doppler_hz, 0, 0,
+        )
+
+    base = int(FS * 0.040)              # 40 ms blocks
+    nmax = cfg.epoch_samples_max
+    # pre-convert all blocks to planar so host conversion isn't timed
+    blocks = []
+    pos = 0
+    while pos + base + nmax <= len(x):
+        blocks.append(to_planar(x[pos : pos + base + nmax]))
+        pos += base
+
+    # warmup (compile)
+    for b in blocks[:WARMUP_BLOCKS]:
+        st, outs = eng.track_block(b, st, base)
+    np.asarray(outs.correlators)
+
+    timed = blocks[WARMUP_BLOCKS:]
+    t0 = time.time()
+    n_valid = 0
+    for b in timed:
+        st, outs = eng.track_block(b, st, base)
+        # harvest transfer is part of the pipeline
+        n_valid += int(np.asarray(outs.valid).sum())
+        np.asarray(outs.correlators)
+    wall = time.time() - t0
+    signal_s = len(timed) * base / FS
+    rtf = signal_s / wall
+    samples_per_s = signal_s * FS * N_CH / wall
+    assert n_valid > 0.9 * len(timed) * (base / (FS * 1e-3)) * N_CH * 0.9
+
+    return {
+        "metric": f"real_time_factor_12ch_gps_l1_tracking_{dev}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf, 2),
+        "channel_samples_per_s": round(samples_per_s),
+        "platform": dev,
+    }
+
+
+def main() -> None:
+    try:
+        result = run_bench()
+    except Exception as e:  # noqa: BLE001
+        if not os.environ.get("GNSS_BENCH_PLATFORM"):
+            env = dict(os.environ, GNSS_BENCH_PLATFORM="cpu")
+            sys.stderr.write(f"device bench failed ({e!r}); retrying on cpu\n")
+            os.execve(sys.executable, [sys.executable, __file__], env)
+        raise
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,26 @@ __all__ = [
     "galileo_e1b_code", "galileo_e1c_code", "galileo_e1_sinboc11", "E1C_SECONDARY",
     "galileo_e5ai_code", "galileo_e5aq_code",
     "glonass_ca_code", "beidou_b1i_code", "beidou_b3i_code", "BEIDOU_NH20",
-    "resample_code", "code_to_baseband", "generate_code",
+    "resample_code", "code_to_baseband", "generate_code", "tracking_replica",
 ]
+
+
+def tracking_replica(signal_id: str, prn: int):
+    """Local replica for acquisition/tracking: returns
+    (samples, virtual_chip_rate, code_samples_per_chip).
+
+    For BOC signals the replica carries the subcarrier: Galileo E1 uses
+    sinBOC(1,1) at 2 samples/chip (the reference's default tracking replica,
+    galileo_e1_code_gen_sinboc11_float), so the 'virtual' chip rate doubles.
+    """
+    chips = generate_code(signal_id, prn)
+    if signal_id == "1B":
+        from .galileo_e1 import galileo_e1_sinboc11
+
+        return galileo_e1_sinboc11(chips), 2 * 1.023e6, 2
+    from ..constants import SIGNALS
+
+    return chips, SIGNALS[signal_id].code_rate_chips_s, 1
 
 
 def generate_code(signal_id: str, prn: int):

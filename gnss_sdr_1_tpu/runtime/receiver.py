@@ -16,7 +16,7 @@ import logging
 import numpy as np
 
 from ..acquire import AcqConfig, PcpsAcquisition
-from ..codes import generate_code
+from ..codes import tracking_replica
 from ..constants import SIGNALS, SignalSpec
 from ..observables import ChannelEpochHistory, compute_observables
 from ..pvt.solver import PvtSolution, solve_pvt
@@ -46,6 +46,8 @@ class ReceiverConfig:
     dll_bw_hz: float = 2.0
     enable_fll_pull_in: bool = False
     pull_in_time_s: float = 0.3
+    early_late_space_chips: float = 0.5
+    very_early_late_space_chips: float = 0.6
     # pipeline
     block_ms: int = 40
     obs_interval_ms: int = 20
@@ -64,7 +66,11 @@ class Receiver:
         spec = cfg.spec
         fs = cfg.fs_hz
         self.samples_per_code = int(round(fs * spec.code_period_s))
-        self._codes = {p: generate_code(cfg.signal_id, p) for p in cfg.prn_search}
+        # replica carries any BOC subcarrier (Galileo E1 -> sinBOC(1,1))
+        replicas = {p: tracking_replica(cfg.signal_id, p) for p in cfg.prn_search}
+        self._codes = {p: r[0] for p, r in replicas.items()}
+        virtual_rate, spc_code = next(iter(replicas.values()))[1:]
+        is_veml = cfg.signal_id == "1B"
 
         self.acq = PcpsAcquisition(
             AcqConfig(
@@ -81,7 +87,8 @@ class Receiver:
                 num_doppler_bins_step2=cfg.num_doppler_bins_step2,
             ),
             self._codes,
-            fs_code_rate=(spec.code_rate_chips_s, spec.code_length_chips),
+            fs_code_rate=(virtual_rate,
+                          spec.code_length_chips * spc_code),
         )
         self.trk = TrackingEngine(
             TrackConfig(
@@ -90,10 +97,15 @@ class Receiver:
                 chip_rate_chips_s=spec.code_rate_chips_s,
                 carrier_freq_hz=spec.carrier_freq_hz,
                 n_channels=cfg.n_channels,
+                code_samples_per_chip=spc_code,
+                veml=is_veml,
                 pll_bw_hz=cfg.pll_bw_hz,
                 dll_bw_hz=cfg.dll_bw_hz,
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 pull_in_time_s=cfg.pull_in_time_s,
+                early_late_space_chips=(
+                    0.15 if is_veml else cfg.early_late_space_chips),
+                very_early_late_space_chips=cfg.very_early_late_space_chips,
             ),
             np.stack([self._codes[p] for p in self.acq.prns]),
         )
@@ -135,7 +147,10 @@ class Receiver:
                 float(res.delay_samples[k]), float(res.doppler_hz[k]),
                 samples_abs_offset, self._pos,
             )
-            self.decoders[prn] = LnavDecoder(prn)
+            # telemetry: GPS LNAV decoder; other signals' decoders land in
+            # later rounds (tracking/observables plumbing is signal-generic)
+            if self.cfg.signal_id == "1C":
+                self.decoders[prn] = LnavDecoder(prn)
             self.histories[prn] = ChannelEpochHistory()
             self.sym_count[prn] = 0
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
@@ -164,14 +179,15 @@ class Receiver:
             prompts = corr[v, ch, p_idx]
             ep_starts = starts[v, ch] + block_offset_abs
             ep_dops = dops[v, ch]
-            dec = self.decoders[prn]
-            dec.push(prompts.real, ep_starts)
-            hist = self.histories[prn]
+            dec = self.decoders.get(prn)
             base_sym = self.sym_count[prn]
-            for k in range(len(prompts)):
-                tow = dec.tow_at_symbol(base_sym + k)
-                if tow is not None:
-                    hist.push(int(ep_starts[k]), tow, float(ep_dops[k]))
+            if dec is not None:
+                dec.push(prompts.real, ep_starts)
+                hist = self.histories[prn]
+                for k in range(len(prompts)):
+                    tow = dec.tow_at_symbol(base_sym + k)
+                    if tow is not None:
+                        hist.push(int(ep_starts[k]), tow, float(ep_dops[k]))
             self.sym_count[prn] = base_sym + len(prompts)
             if not bool(active[-1, ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)

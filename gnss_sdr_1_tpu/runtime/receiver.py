@@ -236,22 +236,41 @@ class Receiver:
     # ---------------- main loop ----------------
 
     def process(self, samples: np.ndarray) -> list[PvtSolution]:
-        """Run the receiver over a full capture (complex64 at fs)."""
+        """Run the receiver over a full capture (complex64 at fs).
+
+        Tracking runs in multi-block device segments (track_capture — one
+        host round-trip per reacq interval); the channel FSM, telemetry,
+        observables and PVT run on host between segments.
+        """
+        import jax.numpy as jnp
+
+        from ..utils.planar import to_planar
+
         cfg = self.cfg
         base = int(round(cfg.fs_hz * cfg.block_ms * 1e-3))
         nmax = self.trk.cfg.epoch_samples_max
         total = len(samples)
+        seg_blocks = max(1, cfg.reacq_interval_blocks)
         self._pos = 0
         while self._pos + base + nmax <= total:
-            if self._blocks_done % cfg.reacq_interval_blocks == 0:
-                need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
-                if self._pos + need <= total:
-                    self._acquire_and_assign(self._pos, samples[self._pos : self._pos + need])
-            block = samples[self._pos : self._pos + base + nmax]
-            block_offset = self._pos
-            self.state, outs = self.trk.track_block(block, self.state, base)
-            self._harvest(outs, block_offset)
+            need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
+            if self._pos + need <= total:
+                self._acquire_and_assign(
+                    self._pos, samples[self._pos : self._pos + need])
+            n_blocks = min(seg_blocks, (total - self._pos - nmax) // base)
+            if n_blocks < 1:
+                break
+            seg = samples[self._pos : self._pos + n_blocks * base + nmax]
+            seg_dev = jnp.asarray(to_planar(seg))
+            self.state, outs = self.trk.track_capture(
+                seg_dev, self.state, base, n_blocks)
+            # flatten [B, E, ...] -> [B*E, ...]; starts are segment-relative
+            flat = type(outs)(*(
+                np.asarray(f).reshape((-1,) + np.asarray(f).shape[2:])
+                for f in outs
+            ))
+            self._harvest(flat, self._pos)
             self._observables_and_pvt()
-            self._pos += base
-            self._blocks_done += 1
+            self._pos += n_blocks * base
+            self._blocks_done += n_blocks
         return self.solutions

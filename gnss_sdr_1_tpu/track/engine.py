@@ -139,6 +139,10 @@ class TrackingEngine:
         self._block_fn = jax.jit(
             self._track_block_impl, static_argnames=("base", "n_epochs")
         )
+        self._capture_fn = jax.jit(
+            self._track_capture_impl,
+            static_argnames=("base", "n_blocks", "n_epochs"),
+        )
 
     # ---------------- state management (host) ----------------
 
@@ -392,6 +396,34 @@ class TrackingEngine:
 
         return jax.lax.scan(step, state, None, length=n_epochs)
 
+    def _track_capture_impl(self, samples, state: TrackState, *, base: int,
+                            n_blocks: int, n_epochs: int):
+        """Outer scan over blocks x inner scan over epochs, all on device.
+
+        `samples` is the planar capture resident in HBM; each outer step
+        slices its block (with the epoch_samples_max overlap tail), runs the
+        epoch scan, and rebases start indices — so an arbitrarily long
+        capture is one device program with a single host round-trip.
+        """
+        nmax = self.cfg.epoch_samples_max
+
+        def block_step(carry, blk_idx):
+            st = carry
+            offset = blk_idx * jnp.int32(base)
+            blk = jax.lax.dynamic_slice(
+                samples, (offset, 0), (base + nmax, 2))
+
+            def step(c, _):
+                return self._epoch_step(blk, c, base)
+
+            st, outs = jax.lax.scan(step, st, None, length=n_epochs)
+            st = st._replace(start=st.start - jnp.int32(base))
+            # emit absolute epoch starts for host bookkeeping
+            outs = outs._replace(start=outs.start + offset)
+            return st, outs
+
+        return jax.lax.scan(block_step, state, jnp.arange(n_blocks, dtype=jnp.int32))
+
     # ---------------- host API ----------------
 
     def track_block(self, samples: np.ndarray, state: TrackState, base: int):
@@ -415,3 +447,20 @@ class TrackingEngine:
             jnp.asarray(samples), state, base=base, n_epochs=n_epochs
         )
         return self.rebase(new_state, base), outs
+
+    def track_capture(self, samples_device, state: TrackState, base: int,
+                      n_blocks: int):
+        """Process `n_blocks` consecutive blocks in one device call.
+
+        `samples_device`: planar float32 [S, 2] jax array already resident on
+        device, S >= n_blocks*base + epoch_samples_max.  Returns
+        (final_state, TrackOutputs with leading [n_blocks, E] axes and
+        ABSOLUTE epoch start indices).  This is the production fast path —
+        one host round-trip per capture segment instead of per block.
+        """
+        n_epochs = base // (self._t0_int - 2) + 2
+        need = n_blocks * base + self.cfg.epoch_samples_max
+        if samples_device.shape[0] < need:
+            raise ValueError(f"capture must hold >= {need} samples")
+        return self._capture_fn(samples_device, state, base=base,
+                                n_blocks=n_blocks, n_epochs=n_epochs)

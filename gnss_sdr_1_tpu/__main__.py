@@ -1,0 +1,123 @@
+"""Command-line receiver: the reference's `gnss-sdr --config_file=...` entry.
+
+Reference parity: src/main/main.cc (gflags CLI + ControlThread) — run a
+configuration over a file capture, print PVT fixes at display_rate, write
+RINEX/NMEA/KML/GPX/GeoJSON outputs.
+
+Usage:
+    python -m gnss_sdr_1_tpu --config_file conf/my.conf [--signal_file x.dat]
+    python -m gnss_sdr_1_tpu --signal_file cap.dat --item_type ishort \
+        --fs 4e6 [--out_dir out/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gnss_sdr_1_tpu")
+    ap.add_argument("-c", "--config_file", help="reference-style .conf file")
+    ap.add_argument("--signal_file", help="IQ capture path (overrides conf)")
+    ap.add_argument("--item_type", default=None,
+                    help="ishort|ibyte|byte|short|gr_complex")
+    ap.add_argument("--fs", type=float, default=None, help="sampling rate")
+    ap.add_argument("--signal", default=None, help="signal id (1C, 1B, ...)")
+    ap.add_argument("--channels", type=int, default=None)
+    ap.add_argument("--max_s", type=float, default=None,
+                    help="process at most this many seconds")
+    ap.add_argument("--out_dir", default=".", help="output directory")
+    ap.add_argument("--platform", default=None, help="jax platform override")
+    ap.add_argument("--doppler_max", type=float, default=None)
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(message)s")
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .io import FileSignalSource
+    from .runtime import Receiver, ReceiverConfig
+    from .runtime.config import FileConfiguration, to_receiver_config
+    from .pvt import printers
+
+    if args.config_file:
+        conf = FileConfiguration(args.config_file)
+        rcfg = to_receiver_config(conf)
+        signal_file = args.signal_file or conf.property(
+            "SignalSource.filename", "")
+        item_type = args.item_type or conf.property(
+            "SignalSource.item_type", "ishort")
+    else:
+        if not args.signal_file:
+            ap.error("need --config_file or --signal_file")
+        rcfg = ReceiverConfig()
+        signal_file = args.signal_file
+        item_type = args.item_type or "ishort"
+    if args.fs:
+        rcfg = type(rcfg)(**{**rcfg.__dict__, "fs_hz": args.fs})
+    if args.signal:
+        rcfg = type(rcfg)(**{**rcfg.__dict__, "signal_id": args.signal})
+    if args.channels:
+        rcfg = type(rcfg)(**{**rcfg.__dict__, "n_channels": args.channels})
+    if args.doppler_max:
+        rcfg = type(rcfg)(**{**rcfg.__dict__, "doppler_max_hz": args.doppler_max})
+
+    max_samples = int(args.max_s * rcfg.fs_hz) if args.max_s else None
+    src = FileSignalSource(signal_file, item_type=item_type,
+                           sampling_frequency=rcfg.fs_hz,
+                           max_samples=max_samples)
+    print(f"Processing {src.n_samples} samples "
+          f"({src.n_samples / rcfg.fs_hz:.1f} s) of {signal_file} "
+          f"[{item_type}] with {rcfg.n_channels} {rcfg.signal_id} channels")
+    samples = src.read(0, src.n_samples)
+
+    rx = Receiver(rcfg)
+    t0 = time.time()
+    sols = rx.process(samples)
+    dt = time.time() - t0
+    dur = src.n_samples / rcfg.fs_hz
+    print(f"Processed in {dt:.1f} s (RTF {dur / dt:.2f}x); "
+          f"{len(sols)} PVT fixes")
+
+    out = pathlib.Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if sols:
+        last = sols[-1]
+        print(f"Final fix: lat {last.lat_deg:.6f} lon {last.lon_deg:.6f} "
+              f"h {last.height_m:.1f} m  sats {last.n_sats} "
+              f"pdop {last.dops['pdop']:.2f}")
+        (out / "position.kml").write_text(printers.kml_document(sols))
+        (out / "position.gpx").write_text(printers.gpx_document(sols))
+        (out / "position.geojson").write_text(printers.geojson_document(sols))
+        nmea = []
+        for s in sols:
+            utc = printers.gps_time_to_utc(2240, s.rx_time_tow_s)
+            nmea.append(printers.nmea_gga(s, utc))
+            nmea.append(printers.nmea_rmc(s, utc))
+        (out / "position.nmea").write_text("\n".join(nmea) + "\n")
+        ephs = {p: d.ephemeris for p, d in rx.decoders.items()
+                if d.ephemeris_complete}
+        if ephs:
+            nav = printers.rinex_nav_header() + "".join(
+                printers.rinex_nav_record(e) for e in ephs.values())
+            (out / "brdc.rnx").write_text(nav)
+        print(f"Outputs written to {out}/")
+    else:
+        print("No position fix obtained.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,3 +69,33 @@ def test_direct_resampler_contract():
     x = np.arange(100, dtype=np.complex64)
     y = direct_resample(x, fs_in=4.0, fs_out=2.0)
     assert np.array_equal(y.real, np.arange(0, 100, 2))
+
+
+def test_pulse_blanking_removes_pulses():
+    from gnss_sdr_1_tpu.condition.interference import pulse_blanking
+
+    rng = np.random.default_rng(3)
+    x = ((rng.standard_normal(20000) + 1j * rng.standard_normal(20000))
+         * np.sqrt(0.5)).astype(np.complex64)
+    x[5000:5050] += 50.0          # strong pulse
+    y, frac = pulse_blanking(x, n_sigma=5.0)
+    assert np.all(np.abs(y[5000:5050]) == 0.0)
+    assert frac < 0.01
+    # clean samples untouched
+    assert np.allclose(y[:4000], x[:4000])
+
+
+def test_notch_excises_cw_line():
+    from gnss_sdr_1_tpu.condition.interference import notch_filter
+
+    rng = np.random.default_rng(4)
+    n = 1 << 15
+    t = np.arange(n)
+    x = ((rng.standard_normal(n) + 1j * rng.standard_normal(n)) * np.sqrt(0.5)
+         + 20.0 * np.exp(2j * np.pi * 0.123 * t)).astype(np.complex64)
+    y, frac = notch_filter(x, excise_bw_bins=2, pfa_factor=30.0)
+    spec = np.abs(np.fft.fft(y))
+    line_bin = int(round(0.123 * n))
+    assert spec[line_bin] < 0.01 * 20.0 * n   # line nulled
+    # a non-integer-bin CW line leaks across the skirt; a few % of bins go
+    assert 0 < frac < 0.05

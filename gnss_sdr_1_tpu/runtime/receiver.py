@@ -260,17 +260,12 @@ class Receiver:
             n_blocks = min(seg_blocks, (total - self._pos - nmax) // base)
             if n_blocks < 1:
                 break
-            seg = samples[self._pos : self._pos + n_blocks * base + nmax]
+            span = n_blocks * base
+            seg = samples[self._pos : self._pos + span + nmax]
             seg_dev = jnp.asarray(to_planar(seg))
-            self.state, outs = self.trk.track_capture(
-                seg_dev, self.state, base, n_blocks)
-            # flatten [B, E, ...] -> [B*E, ...]; starts are segment-relative
-            flat = type(outs)(*(
-                np.asarray(f).reshape((-1,) + np.asarray(f).shape[2:])
-                for f in outs
-            ))
-            self._harvest(flat, self._pos)
+            self.state, outs = self.trk.track_capture(seg_dev, self.state, span)
+            self._harvest(outs, self._pos)
             self._observables_and_pvt()
-            self._pos += n_blocks * base
+            self._pos += span
             self._blocks_done += n_blocks
         return self.solutions

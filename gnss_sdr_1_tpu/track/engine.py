@@ -141,7 +141,7 @@ class TrackingEngine:
         )
         self._capture_fn = jax.jit(
             self._track_capture_impl,
-            static_argnames=("base", "n_blocks", "n_epochs"),
+            static_argnames=("span", "n_epochs"),
         )
 
     # ---------------- state management (host) ----------------
@@ -396,33 +396,18 @@ class TrackingEngine:
 
         return jax.lax.scan(step, state, None, length=n_epochs)
 
-    def _track_capture_impl(self, samples, state: TrackState, *, base: int,
-                            n_blocks: int, n_epochs: int):
-        """Outer scan over blocks x inner scan over epochs, all on device.
+    def _track_capture_impl(self, samples, state: TrackState, *,
+                            span: int, n_epochs: int):
+        """Single flat epoch scan over a device-resident capture.
 
-        `samples` is the planar capture resident in HBM; each outer step
-        slices its block (with the epoch_samples_max overlap tail), runs the
-        epoch scan, and rebases start indices — so an arbitrarily long
-        capture is one device program with a single host round-trip.
+        `samples` is the planar capture in HBM; every channel advances
+        through all epochs starting within [0, span) in one scan — one
+        device program, one host round-trip, no per-block re-slicing.
         """
-        nmax = self.cfg.epoch_samples_max
+        def step(c, _):
+            return self._epoch_step(samples, c, span)
 
-        def block_step(carry, blk_idx):
-            st = carry
-            offset = blk_idx * jnp.int32(base)
-            blk = jax.lax.dynamic_slice(
-                samples, (offset, 0), (base + nmax, 2))
-
-            def step(c, _):
-                return self._epoch_step(blk, c, base)
-
-            st, outs = jax.lax.scan(step, st, None, length=n_epochs)
-            st = st._replace(start=st.start - jnp.int32(base))
-            # emit absolute epoch starts for host bookkeeping
-            outs = outs._replace(start=outs.start + offset)
-            return st, outs
-
-        return jax.lax.scan(block_step, state, jnp.arange(n_blocks, dtype=jnp.int32))
+        return jax.lax.scan(step, state, None, length=n_epochs)
 
     # ---------------- host API ----------------
 
@@ -448,19 +433,20 @@ class TrackingEngine:
         )
         return self.rebase(new_state, base), outs
 
-    def track_capture(self, samples_device, state: TrackState, base: int,
-                      n_blocks: int):
-        """Process `n_blocks` consecutive blocks in one device call.
+    def track_capture(self, samples_device, state: TrackState, span: int):
+        """Process a whole device-resident capture segment in one call.
 
-        `samples_device`: planar float32 [S, 2] jax array already resident on
-        device, S >= n_blocks*base + epoch_samples_max.  Returns
-        (final_state, TrackOutputs with leading [n_blocks, E] axes and
-        ABSOLUTE epoch start indices).  This is the production fast path —
-        one host round-trip per capture segment instead of per block.
+        `samples_device`: planar float32 [S, 2] jax array on device with
+        S >= span + epoch_samples_max; every active channel consumes all
+        epochs starting within [0, span).  Returns (state_rebased_by_span,
+        TrackOutputs with a leading [n_epochs] axis and segment-relative
+        epoch starts).  This is the production fast path — one host
+        round-trip per segment instead of per block.
         """
-        n_epochs = base // (self._t0_int - 2) + 2
-        need = n_blocks * base + self.cfg.epoch_samples_max
+        n_epochs = span // (self._t0_int - 2) + 2
+        need = span + self.cfg.epoch_samples_max
         if samples_device.shape[0] < need:
             raise ValueError(f"capture must hold >= {need} samples")
-        return self._capture_fn(samples_device, state, base=base,
-                                n_blocks=n_blocks, n_epochs=n_epochs)
+        st, outs = self._capture_fn(samples_device, state, span=span,
+                                    n_epochs=n_epochs)
+        return self.rebase(st, span), outs

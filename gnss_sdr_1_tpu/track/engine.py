@@ -141,7 +141,7 @@ class TrackingEngine:
         )
         self._capture_fn = jax.jit(
             self._track_capture_impl,
-            static_argnames=("span", "n_epochs"),
+            static_argnames=("n_epochs_cap",),
         )
 
     # ---------------- state management (host) ----------------
@@ -396,18 +396,42 @@ class TrackingEngine:
 
         return jax.lax.scan(step, state, None, length=n_epochs)
 
-    def _track_capture_impl(self, samples, state: TrackState, *,
-                            span: int, n_epochs: int):
-        """Single flat epoch scan over a device-resident capture.
+    def _track_capture_impl(self, samples, state: TrackState, limit,
+                            n_epochs, *, n_epochs_cap: int):
+        """Dynamic epoch loop over a device-resident capture.
 
-        `samples` is the planar capture in HBM; every channel advances
-        through all epochs starting within [0, span) in one scan — one
-        device program, one host round-trip, no per-block re-slicing.
+        `limit` (traced): epochs start only while start < limit.
+        `n_epochs` (traced): loop trip count — a traced bound forces a real
+        device loop (the terminal backend unrolls static-length scans, which
+        makes long-capture compiles intractable).  Outputs are written into
+        preallocated [n_epochs_cap, ...] buffers.
         """
-        def step(c, _):
-            return self._epoch_step(samples, c, span)
+        C = self.cfg.n_channels
+        K = self.cfg.n_taps
+        f32 = jnp.float32
+        bufs = TrackOutputs(
+            valid=jnp.zeros((n_epochs_cap, C), bool),
+            start=jnp.zeros((n_epochs_cap, C), jnp.int32),
+            cur_len=jnp.zeros((n_epochs_cap, C), jnp.int32),
+            correlators=jnp.zeros((n_epochs_cap, C, K, 2), f32),
+            carrier_doppler_hz=jnp.zeros((n_epochs_cap, C), f32),
+            code_freq_delta=jnp.zeros((n_epochs_cap, C), f32),
+            rem_code_phase_samples=jnp.zeros((n_epochs_cap, C), f32),
+            rem_carr_phase_rad=jnp.zeros((n_epochs_cap, C), f32),
+            cn0_dbhz=jnp.zeros((n_epochs_cap, C), f32),
+            active=jnp.zeros((n_epochs_cap, C), bool),
+        )
 
-        return jax.lax.scan(step, state, None, length=n_epochs)
+        def body(i, carry):
+            st, b = carry
+            st, out = self._epoch_step(samples, st, limit)
+            b = jax.tree.map(
+                lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
+                    buf, o[None].astype(buf.dtype), i, 0),
+                b, out)
+            return st, b
+
+        return jax.lax.fori_loop(0, n_epochs, body, (state, bufs))
 
     # ---------------- host API ----------------
 
@@ -447,6 +471,10 @@ class TrackingEngine:
         need = span + self.cfg.epoch_samples_max
         if samples_device.shape[0] < need:
             raise ValueError(f"capture must hold >= {need} samples")
-        st, outs = self._capture_fn(samples_device, state, span=span,
-                                    n_epochs=n_epochs)
+        # buffer capacity rounds up so different spans over the same capture
+        # shape reuse one compiled program
+        cap = n_epochs
+        st, outs = self._capture_fn(
+            samples_device, state, jnp.int32(span), jnp.int32(n_epochs),
+            n_epochs_cap=cap)
         return self.rebase(st, span), outs

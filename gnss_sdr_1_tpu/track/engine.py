@@ -135,6 +135,11 @@ class TrackingEngine:
         t0 = float(cfg.samples_per_code)
         self._t0_int = int(np.floor(t0))
         self._t0_frac = float(t0 - self._t0_int)
+        # epoch window: covers the per-channel start spread (< one code
+        # period) plus one max-length epoch
+        self._win = cfg.epoch_samples_max + self._t0_int + 66
+        # inner static scan length of the hybrid capture loop
+        self._chunk_epochs = 20
         self._fll_epochs = int(round(cfg.pull_in_time_s / cfg.code_period_s))
         self._block_fn = jax.jit(
             self._track_block_impl, static_argnames=("base", "n_epochs")
@@ -248,11 +253,19 @@ class TrackingEngine:
         valid = state.active & (state.start < jnp.int32(base))
 
         # --- correlation (A.1/A.2) ---
+        # One HBM window slice covers every channel (all active channels'
+        # epoch starts lie within one code period of each other — they
+        # advance in lock-step on the epoch grid), then cheap per-channel
+        # slices within the window.
         n_samp = samples_p.shape[0]
-        start_c = jnp.clip(state.start, 0, n_samp - Nmax)
+        win = min(self._win, n_samp)
+        m = jnp.min(jnp.where(state.active, state.start, jnp.int32(1 << 29)))
+        m = jnp.clip(m, 0, n_samp - win)
+        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
+        off = jnp.clip(state.start - m, 0, win - Nmax)
         segs_p = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(samples_p, (s, 0), (Nmax, 2))
-        )(start_c)                                             # [C, Nmax, 2]
+            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
+        )(off)                                                 # [C, Nmax, 2]
         segs = unpack_complex(segs_p)                          # [C, Nmax]
         code_rows = self._codes[state.prn_slot]                # [C, Lspc]
         spc = f32(cfg.code_samples_per_chip)
@@ -409,29 +422,40 @@ class TrackingEngine:
         C = self.cfg.n_channels
         K = self.cfg.n_taps
         f32 = jnp.float32
+        E = self._chunk_epochs          # static inner-scan length
+        n_chunks_cap = (n_epochs_cap + E - 1) // E
+        cap = n_chunks_cap * E
         bufs = TrackOutputs(
-            valid=jnp.zeros((n_epochs_cap, C), bool),
-            start=jnp.zeros((n_epochs_cap, C), jnp.int32),
-            cur_len=jnp.zeros((n_epochs_cap, C), jnp.int32),
-            correlators=jnp.zeros((n_epochs_cap, C, K, 2), f32),
-            carrier_doppler_hz=jnp.zeros((n_epochs_cap, C), f32),
-            code_freq_delta=jnp.zeros((n_epochs_cap, C), f32),
-            rem_code_phase_samples=jnp.zeros((n_epochs_cap, C), f32),
-            rem_carr_phase_rad=jnp.zeros((n_epochs_cap, C), f32),
-            cn0_dbhz=jnp.zeros((n_epochs_cap, C), f32),
-            active=jnp.zeros((n_epochs_cap, C), bool),
+            valid=jnp.zeros((cap, C), bool),
+            start=jnp.zeros((cap, C), jnp.int32),
+            cur_len=jnp.zeros((cap, C), jnp.int32),
+            correlators=jnp.zeros((cap, C, K, 2), f32),
+            carrier_doppler_hz=jnp.zeros((cap, C), f32),
+            code_freq_delta=jnp.zeros((cap, C), f32),
+            rem_code_phase_samples=jnp.zeros((cap, C), f32),
+            rem_carr_phase_rad=jnp.zeros((cap, C), f32),
+            cn0_dbhz=jnp.zeros((cap, C), f32),
+            active=jnp.zeros((cap, C), bool),
         )
 
-        def body(i, carry):
+        # hybrid loop: dynamic outer trip count (no unroll explosion at
+        # compile) around a small static inner scan (amortizes per-iteration
+        # loop overhead at run time)
+        def chunk(i, carry):
             st, b = carry
-            st, out = self._epoch_step(samples, st, limit)
+
+            def step(c, _):
+                return self._epoch_step(samples, c, limit)
+
+            st, outs = jax.lax.scan(step, st, None, length=E)
             b = jax.tree.map(
                 lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
-                    buf, o[None].astype(buf.dtype), i, 0),
-                b, out)
+                    buf, o.astype(buf.dtype), i * E, 0),
+                b, outs)
             return st, b
 
-        return jax.lax.fori_loop(0, n_epochs, body, (state, bufs))
+        n_chunks = (n_epochs + E - 1) // E
+        return jax.lax.fori_loop(0, n_chunks, chunk, (state, bufs))
 
     # ---------------- host API ----------------
 

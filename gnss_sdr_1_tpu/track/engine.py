@@ -139,7 +139,7 @@ class TrackingEngine:
         # period) plus one max-length epoch
         self._win = cfg.epoch_samples_max + self._t0_int + 66
         # inner static scan length of the hybrid capture loop
-        self._chunk_epochs = 20
+        self._chunk_epochs = 4
         self._fll_epochs = int(round(cfg.pull_in_time_s / cfg.code_period_s))
         self._block_fn = jax.jit(
             self._track_block_impl, static_argnames=("base", "n_epochs")
@@ -438,20 +438,23 @@ class TrackingEngine:
             active=jnp.zeros((cap, C), bool),
         )
 
-        # hybrid loop: dynamic outer trip count (no unroll explosion at
-        # compile) around a small static inner scan (amortizes per-iteration
-        # loop overhead at run time)
+        # flat dynamic loop with a manually inlined body: the terminal
+        # backend hangs compiling nested control flow (scan-in-scan,
+        # scan-in-fori), so the body runs E epoch steps as straight-line
+        # code and writes their stacked outputs once — amortizing
+        # per-iteration loop overhead without nesting
         def chunk(i, carry):
             st, b = carry
-
-            def step(c, _):
-                return self._epoch_step(samples, c, limit)
-
-            st, outs = jax.lax.scan(step, st, None, length=E)
+            outs_list = []
+            for _ in range(E):
+                st, out = self._epoch_step(samples, st, limit)
+                outs_list.append(out)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0),
+                                   *outs_list)
             b = jax.tree.map(
                 lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
                     buf, o.astype(buf.dtype), i * E, 0),
-                b, outs)
+                b, stacked)
             return st, b
 
         n_chunks = (n_epochs + E - 1) // E

@@ -484,7 +484,8 @@ class TrackingEngine:
         )
         return self.rebase(new_state, base), outs
 
-    def track_capture(self, samples_device, state: TrackState, span: int):
+    def track_capture(self, samples_device, state: TrackState, span: int,
+                      segment_epochs: int | None = None):
         """Process a whole device-resident capture segment in one call.
 
         `samples_device`: planar float32 [S, 2] jax array on device with
@@ -494,14 +495,31 @@ class TrackingEngine:
         epoch starts).  This is the production fast path — one host
         round-trip per segment instead of per block.
         """
-        n_epochs = span // (self._t0_int - 2) + 2
         need = span + self.cfg.epoch_samples_max
         if samples_device.shape[0] < need:
             raise ValueError(f"capture must hold >= {need} samples")
-        # buffer capacity rounds up so different spans over the same capture
-        # shape reuse one compiled program
-        cap = n_epochs
-        st, outs = self._capture_fn(
-            samples_device, state, jnp.int32(span), jnp.int32(n_epochs),
-            n_epochs_cap=cap)
-        return self.rebase(st, span), outs
+        if segment_epochs is None:
+            n_epochs = span // (self._t0_int - 2) + 2
+            st, outs = self._capture_fn(
+                samples_device, state, jnp.int32(span), jnp.int32(n_epochs),
+                n_epochs_cap=n_epochs)
+            return self.rebase(st, span), outs
+        # segmented: one compiled program (fixed buffer capacity) called
+        # repeatedly with an advancing sample limit — bounds the loop-carry
+        # output buffers (large carries degrade the device loop) while
+        # keeping the capture resident
+        cap = int(segment_epochs)
+        seg_span = (cap - 2) * (self._t0_int - 2)
+        st = state
+        collected = None
+        k = 0
+        while k * seg_span < span:
+            lim = min(span, (k + 1) * seg_span)
+            st, outs = self._capture_fn(
+                samples_device, st, jnp.int32(lim), jnp.int32(cap),
+                n_epochs_cap=cap)
+            host = jax.tree.map(np.asarray, outs)
+            collected = host if collected is None else jax.tree.map(
+                lambda a, b: np.concatenate([a, b]), collected, host)
+            k += 1
+        return self.rebase(st, span), collected

@@ -63,6 +63,9 @@ def run_bench() -> dict:
     cfg = TrackConfig(
         fs_hz=FS, code_length_chips=1023, chip_rate_chips_s=1.023e6,
         carrier_freq_hz=1575.42e6, n_channels=N_CH,
+        # FFT-lag correlator: the TPU fast path (per-sample gathers
+        # serialize on the terminal backend); CPU uses it too for parity
+        correlator="fft",
     )
     eng = TrackingEngine(cfg, np.stack([codes[p] for p in prns]))
     st = eng.init_state()

@@ -46,6 +46,15 @@ class TrackConfig:
     # a grace period avoids churn during PLL pull-in transients)
     supervision_grace_epochs: int = 600
 
+    # correlator backend:
+    #   'gather' — per-sample floor code resampler (the reference's exact
+    #              A.2 contract; fast on CPU)
+    #   'fft'    — batched FFT-lag correlator with linear lag interpolation
+    #              (no gathers; the TPU fast path — large gathers serialize
+    #              on the TPU backend).  Numerics differ from the reference
+    #              by the interpolation (less scalloping).
+    correlator: str = "gather"
+
     @property
     def samples_per_code(self) -> float:
         return self.fs_hz * self.code_length_chips / self.chip_rate_chips_s

@@ -149,3 +149,29 @@ def test_printers_produce_valid_output():
     assert rec.startswith("G03") and rec.count("\n") == 8
     hdr = printers.rinex_obs_header()
     assert "RINEX VERSION" in hdr and "END OF HEADER" in hdr
+
+
+def test_tracking_dump_roundtrip(tmp_path):
+    from gnss_sdr_1_tpu.runtime.dumps import TrackingDump, read_tracking_dump
+
+    class O:  # minimal TrackOutputs stand-in
+        pass
+
+    t, c, k = 5, 2, 3
+    o = O()
+    o.valid = np.ones((t, c), bool)
+    o.start = np.arange(t * c).reshape(t, c).astype(np.int32)
+    o.cur_len = np.full((t, c), 4000, np.int32)
+    o.correlators = np.random.default_rng(0).standard_normal((t, c, k, 2)).astype(np.float32)
+    o.carrier_doppler_hz = np.zeros((t, c), np.float32)
+    o.code_freq_delta = np.zeros((t, c), np.float32)
+    o.rem_code_phase_samples = np.zeros((t, c), np.float32)
+    o.cn0_dbhz = np.full((t, c), 43.0, np.float32)
+    d = TrackingDump()
+    d.push_outputs([7, None], o, block_offset=1000)
+    files = d.write(str(tmp_path))
+    assert any("prn07" in f for f in files)
+    back = read_tracking_dump([f for f in files if f.endswith(".npz")][0])
+    assert len(back["prompt_i"]) == t
+    assert back["start_sample"][0] == 1000
+    assert np.allclose(back["prompt_i"], o.correlators[:, 0, 1, 0])

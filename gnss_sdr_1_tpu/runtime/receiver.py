@@ -147,10 +147,14 @@ class Receiver:
                 float(res.delay_samples[k]), float(res.doppler_hz[k]),
                 samples_abs_offset, self._pos,
             )
-            # telemetry: GPS LNAV decoder; other signals' decoders land in
-            # later rounds (tracking/observables plumbing is signal-generic)
+            # telemetry decoders per signal: LNAV (1C), I/NAV (1B);
+            # CNAV/GNAV/DNAV channel wrappers follow the same interface
             if self.cfg.signal_id == "1C":
                 self.decoders[prn] = LnavDecoder(prn)
+            elif self.cfg.signal_id == "1B":
+                from ..telemetry.channel_adapters import GalileoChannelDecoder
+
+                self.decoders[prn] = GalileoChannelDecoder(prn)
             self.histories[prn] = ChannelEpochHistory()
             self.sym_count[prn] = 0
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",

@@ -69,6 +69,23 @@ def observed_delay_s(eph: GpsEphemeris, rx_ecef: np.ndarray, t_rx: float) -> flo
     return tau - clk
 
 
+def _gps_to_galileo(eph):
+    """Map the scenario's Keplerian truth onto the I/NAV broadcast fields."""
+    from ..telemetry.inav import GalileoEphemeris
+
+    return GalileoEphemeris(
+        prn=eph.prn, iod_nav=eph.iode,
+        toe=eph.toe, toc=eph.toc,
+        m0=eph.m0, e=eph.e, sqrt_a=eph.sqrt_a,
+        omega0=eph.omega0, i0=eph.i0, omega=eph.omega,
+        omega_dot=eph.omega_dot, idot=eph.idot, delta_n=eph.delta_n,
+        cuc=eph.cuc, cus=eph.cus, crc=eph.crc, crs=eph.crs,
+        cic=eph.cic, cis=eph.cis,
+        af0=eph.af0, af1=eph.af1, af2=eph.af2,
+        wn=eph.week,
+    )
+
+
 def _auto_place(rx_ecef: np.ndarray, prns: list[int], toe: float,
                 t0_tow: float) -> tuple[list[float], list[float]]:
     """Pick (raan, anomaly) per satellite so the constellation is spread in
@@ -123,15 +140,17 @@ def build_scenario(
     raans: list[float] | None = None,
     anomalies: list[float] | None = None,
     subframe_cycle: tuple[int, ...] = (1, 2, 3, 4, 5),
+    signal: str = "1C",
 ) -> Scenario:
     """Build consistent SatParams + ephemerides for `prns` visible from
     rx_ecef.  Orbit planes/anomalies default to a spread that puts the
     satellites above the horizon for a receiver near the prime meridian
     mid-latitudes; pass explicit raans/anomalies otherwise."""
     toe = np.floor(t0_tow / 7200.0) * 7200.0   # ephemeris reference nearby
-    # bit stream starts at the last subframe boundary before the earliest
-    # possible transmit time (t0 - 0.1 s)
-    bits_tow0 = np.floor((t0_tow - 0.1) / 6.0) * 6.0
+    # bit stream starts at the last subframe/page boundary before the
+    # earliest possible transmit time (t0 - 0.1 s)
+    boundary = 6.0 if signal == "1C" else 2.0
+    bits_tow0 = np.floor((t0_tow - 0.1) / boundary) * boundary
 
     sats: list[SatParams] = []
     ephs: dict[int, GpsEphemeris] = {}
@@ -161,9 +180,24 @@ def build_scenario(
         stream_offset_s = t0_tow - bits_tow0
         delay_chips = (tau0 - stream_offset_s) * chip_rate
         # nav bits covering the run (+ margin)
-        n_sf = int(np.ceil((duration_s + 2.0) / 6.0)) + 2
-        bits01 = encode_lnav_frame(eph, bits_tow0, n_subframes=n_sf,
-                                   subframe_cycle=subframe_cycle)
+        if signal == "1B":
+            # I/NAV pages (2 s each), word cycle 5,1,2,3,4 so ephemeris +
+            # GST complete within 10 s; GST TOW = even-part start time
+            from ..telemetry.inav import (
+                GalileoEphemeris, encode_page, encode_word)
+
+            geph = _gps_to_galileo(eph)
+            n_pages = int(np.ceil((duration_s + 2.0) / 2.0)) + 2
+            cycle = (5, 1, 2, 3, 4)
+            pages = []
+            for k in range(n_pages):
+                geph.tow = bits_tow0 + 2.0 * k
+                pages.append(encode_page(encode_word(cycle[k % 5], geph)))
+            bits01 = np.concatenate(pages)
+        else:
+            n_sf = int(np.ceil((duration_s + 2.0) / 6.0)) + 2
+            bits01 = encode_lnav_frame(eph, bits_tow0, n_subframes=n_sf,
+                                       subframe_cycle=subframe_cycle)
         nav_bits = (1.0 - 2.0 * bits01).astype(np.float64)
         sats.append(SatParams(
             prn=prn, doppler_hz=doppler, doppler_rate_hz_s=doppler_rate,

@@ -225,6 +225,26 @@ def decode_part(syms240: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64)
 
 
+def to_keplerian(geph: GalileoEphemeris):
+    """GalileoEphemeris -> the GPS-style Keplerian record used by
+    pvt.ephemeris (Galileo broadcasts the same parameterization; GM/omega_e
+    differences are at the 1e-9 relative level of the shared WGS/GTRF
+    constants)."""
+    from .lnav import GpsEphemeris
+
+    return GpsEphemeris(
+        prn=geph.prn, week=geph.wn,
+        toc=geph.toc, toe=geph.toe,
+        af0=geph.af0, af1=geph.af1, af2=geph.af2, tgd=0.0,
+        iodc=geph.iod_nav, iode=geph.iod_nav,
+        sqrt_a=geph.sqrt_a, e=geph.e, m0=geph.m0,
+        delta_n=geph.delta_n, omega0=geph.omega0, i0=geph.i0,
+        omega=geph.omega, omega_dot=geph.omega_dot, idot=geph.idot,
+        cuc=geph.cuc, cus=geph.cus, crc=geph.crc, crs=geph.crs,
+        cic=geph.cic, cis=geph.cis,
+    )
+
+
 class InavDecoder:
     """Per-channel E1B I/NAV decoder: one prompt per 4 ms epoch = 1 symbol."""
 

@@ -65,7 +65,7 @@ def run_bench() -> dict:
         carrier_freq_hz=1575.42e6, n_channels=N_CH,
         # FFT-lag correlator: the TPU fast path (per-sample gathers
         # serialize on the terminal backend); CPU uses it too for parity
-        correlator="fft",
+        correlator=os.environ.get("GNSS_BENCH_CORRELATOR", "fft"),
     )
     eng = TrackingEngine(cfg, np.stack([codes[p] for p in prns]))
     st = eng.init_state()
@@ -111,9 +111,21 @@ def run_bench() -> dict:
 
 
 def main() -> None:
+    import signal
+
+    # Watchdog: the terminal backend's remote compile can hang for certain
+    # programs; never leave the driver without a JSON line.
+    def _timeout(_sig, _frm):
+        raise TimeoutError("device bench watchdog expired")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    budget = 300 if os.environ.get("GNSS_BENCH_PLATFORM") == "cpu" else 1500
+    signal.alarm(budget)
     try:
         result = run_bench()
+        signal.alarm(0)
     except Exception as e:  # noqa: BLE001
+        signal.alarm(0)
         if not os.environ.get("GNSS_BENCH_PLATFORM"):
             env = dict(os.environ, GNSS_BENCH_PLATFORM="cpu")
             sys.stderr.write(f"device bench failed ({e!r}); retrying on cpu\n")

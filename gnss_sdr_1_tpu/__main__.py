@@ -74,6 +74,13 @@ def main(argv=None) -> int:
     if args.doppler_max:
         rcfg = type(rcfg)(**{**rcfg.__dict__, "doppler_max_hz": args.doppler_max})
 
+    from .io.formats import FORMATS
+
+    if item_type not in FORMATS:
+        ap.error(f"unknown item_type {item_type!r}; choose from "
+                 f"{sorted(FORMATS)}")
+    if not pathlib.Path(signal_file).exists():
+        ap.error(f"signal file not found: {signal_file}")
     max_samples = int(args.max_s * rcfg.fs_hz) if args.max_s else None
     src = FileSignalSource(signal_file, item_type=item_type,
                            sampling_frequency=rcfg.fs_hz,

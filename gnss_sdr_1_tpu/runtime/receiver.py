@@ -155,6 +155,14 @@ class Receiver:
                 from ..telemetry.channel_adapters import GalileoChannelDecoder
 
                 self.decoders[prn] = GalileoChannelDecoder(prn)
+            elif self.cfg.signal_id in ("1G", "2G"):
+                from ..telemetry.channel_adapters import GlonassChannelDecoder
+
+                self.decoders[prn] = GlonassChannelDecoder(prn)
+            elif self.cfg.signal_id == "B1":
+                from ..telemetry.channel_adapters import BeidouChannelDecoder
+
+                self.decoders[prn] = BeidouChannelDecoder(prn)
             self.histories[prn] = ChannelEpochHistory()
             self.sym_count[prn] = 0
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",

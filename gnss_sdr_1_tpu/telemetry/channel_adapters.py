@@ -15,6 +15,147 @@ import numpy as np
 from .inav import InavDecoder, to_keplerian
 
 
+class BeidouChannelDecoder:
+    """B1I (D1 NAV) channel: prompts arrive per 1 ms code period, modulated
+    by the NH20 secondary code at 20 ms bit period.
+
+    The adapter performs secondary-code sync (correlating prompt signs with
+    NH20 over a sliding 20-epoch window), wipes NH, integrates to 20 ms
+    bits and feeds DnavDecoder.  (The reference folds NH handling into
+    tracking's extended-integration states; host-side wipe keeps the device
+    loop branch-light.)
+    """
+
+    _NH = np.array([0, 0, 0, 0, 0, 1, 0, 0, 1, 1, 0, 1, 0, 1, 0, 0, 1, 1,
+                    1, 0], dtype=np.float64)
+    _NH_AMP = 1.0 - 2.0 * _NH
+
+    def __init__(self, prn: int):
+        self.prn = prn
+        self._dec = __import__(
+            "gnss_sdr_1_tpu.telemetry.beidou_dnav",
+            fromlist=["DnavDecoder"]).DnavDecoder(prn)
+        self._buf: list[float] = []
+        self._nh_offset: int | None = None
+        self._bit_symbol0: int | None = None
+
+    def push(self, prompt_i, start_samples=None) -> None:
+        self._buf.extend(np.asarray(prompt_i, dtype=np.float64))
+        if self._nh_offset is None:
+            self._sync_nh()
+        if self._nh_offset is None:
+            return
+        # consume whole NH periods into bits
+        p = np.asarray(self._buf)
+        usable = (len(p) - self._nh_offset) // 20
+        if usable <= 0:
+            return
+        seg = p[self._nh_offset : self._nh_offset + usable * 20]
+        bits = (seg.reshape(usable, 20) * self._NH_AMP[None, :]).sum(axis=1)
+        self._dec.push(bits)
+        self._nh_offset += usable * 20
+
+    def _sync_nh(self) -> None:
+        p = np.asarray(self._buf)
+        if len(p) < 80:
+            return
+        s = np.sign(p)
+        best, best_off = 0.0, None
+        for off in range(20):
+            n = (len(p) - off) // 20
+            if n < 3:
+                continue
+            w = s[off : off + n * 20].reshape(n, 20)
+            c = np.abs((w * self._NH_AMP[None, :]).sum(axis=1)).mean()
+            if c > best:
+                best, best_off = c, off
+        if best_off is not None and best > 16.0:   # dominant NH alignment
+            self._nh_offset = best_off
+            self._bit_symbol0 = best_off
+
+    def tow_at_symbol(self, symbol_idx: int):
+        """SOW at a 1 ms epoch index (bits advance 20 ms each)."""
+        if self._bit_symbol0 is None:
+            return None
+        bit_idx = (symbol_idx - self._bit_symbol0) / 20.0
+        sow = self._dec.sow_at_symbol(int(np.floor(bit_idx)))
+        if sow is None:
+            return None
+        frac = bit_idx - np.floor(bit_idx)
+        return sow + 0.02 * frac
+
+    @property
+    def ephemeris_complete(self) -> bool:
+        # D1 ephemeris field extraction lands next round; SOW/framing only
+        return False
+
+    @property
+    def raw(self):
+        return self._dec
+
+
+class GlonassChannelDecoder:
+    """GLONASS L1/L2 C/A channel: prompts per 1 ms code period; GNAV
+    symbols are 10 ms meander half-bits, so 10-epoch sums feed GnavDecoder.
+    The 10 ms boundary phase is found by maximizing sign stability."""
+
+    def __init__(self, slot: int):
+        self.slot = slot
+        self._dec = __import__(
+            "gnss_sdr_1_tpu.telemetry.gnav",
+            fromlist=["GnavDecoder"]).GnavDecoder(slot)
+        self._buf: list[float] = []
+        self._phase: int | None = None
+
+    def push(self, prompt_i, start_samples=None) -> None:
+        self._buf.extend(np.asarray(prompt_i, dtype=np.float64))
+        if self._phase is None:
+            self._sync_phase()
+        if self._phase is None:
+            return
+        p = np.asarray(self._buf)
+        usable = (len(p) - self._phase) // 10
+        if usable <= 0:
+            return
+        seg = p[self._phase : self._phase + usable * 10]
+        self._dec.push(seg.reshape(usable, 10).sum(axis=1))
+        self._phase += usable * 10
+
+    def _sync_phase(self) -> None:
+        p = np.asarray(self._buf)
+        if len(p) < 200:
+            return
+        s = np.sign(p)
+        flips = np.nonzero(s[1:] * s[:-1] < 0)[0] + 1
+        if len(flips) < 8:
+            return
+        hist = np.bincount(flips % 10, minlength=10)
+        best = int(np.argmax(hist))
+        if hist[best] >= 0.6 * len(flips):
+            self._phase = best
+
+    def tow_at_symbol(self, symbol_idx: int):
+        if self._phase is None:
+            return None
+        sym10 = (symbol_idx - self._phase) / 10.0
+        tod = self._dec.tod_at_symbol(int(np.floor(sym10)))
+        if tod is None:
+            return None
+        return tod + 0.01 * (sym10 - np.floor(sym10))
+
+    @property
+    def ephemeris(self):
+        return self._dec.ephemeris
+
+    @property
+    def ephemeris_complete(self) -> bool:
+        return self._dec.ephemeris_complete
+
+    @property
+    def raw(self):
+        return self._dec
+
+
 class GalileoChannelDecoder:
     """E1B channel: one prompt per 4 ms epoch = one I/NAV symbol.
 

@@ -147,7 +147,9 @@ def main() -> None:
         raise TimeoutError("device bench watchdog expired")
 
     signal.signal(signal.SIGALRM, _timeout)
-    budget = 300 if os.environ.get("GNSS_BENCH_PLATFORM") == "cpu" else 1500
+    budget = int(os.environ.get("GNSS_BENCH_WATCHDOG",
+                            "300" if os.environ.get("GNSS_BENCH_PLATFORM") == "cpu"
+                            else "1500"))
     signal.alarm(budget)
     try:
         result = run_bench()

@@ -65,7 +65,7 @@ def run_bench() -> dict:
         carrier_freq_hz=1575.42e6, n_channels=N_CH,
         # FFT-lag correlator: the TPU fast path (per-sample gathers
         # serialize on the terminal backend); CPU uses it too for parity
-        correlator=os.environ.get("GNSS_BENCH_CORRELATOR", "gather"),
+        correlator=os.environ.get("GNSS_BENCH_CORRELATOR", "fft"),
     )
     eng = TrackingEngine(cfg, np.stack([codes[p] for p in prns]))
     st = eng.init_state()

@@ -48,6 +48,7 @@ class ReceiverConfig:
     pull_in_time_s: float = 0.3
     early_late_space_chips: float = 0.5
     very_early_late_space_chips: float = 0.6
+    correlator: str = "gather"   # 'fft' = TPU fast path (see PERF.md)
     # pipeline
     block_ms: int = 40
     obs_interval_ms: int = 20
@@ -103,6 +104,7 @@ class Receiver:
                 dll_bw_hz=cfg.dll_bw_hz,
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 pull_in_time_s=cfg.pull_in_time_s,
+                correlator=cfg.correlator,
                 early_late_space_chips=(
                     0.15 if is_veml else cfg.early_late_space_chips),
                 very_early_late_space_chips=cfg.very_early_late_space_chips,
@@ -116,6 +118,7 @@ class Receiver:
         self.decoders: dict[int, LnavDecoder] = {}
         self.histories: dict[int, ChannelEpochHistory] = {}
         self.sym_count: dict[int, int] = {}
+        self.carrier_phase_acc: dict[int, float] = {}
         self.rx_tow_s: float | None = None
         self.rx_tow_sample: int | None = None
         self.solutions: list[PvtSolution] = []
@@ -177,6 +180,7 @@ class Receiver:
         starts = np.asarray(outs.start)
         corr = from_planar_np(np.asarray(outs.correlators))   # [E, C, K]
         dops = np.asarray(outs.carrier_doppler_hz)
+        lens = np.asarray(outs.cur_len)
         active = np.asarray(outs.active)
         p_idx = self.trk.cfg.prompt_index
         for ch, prn in enumerate(self.channel_prn):
@@ -193,13 +197,24 @@ class Receiver:
             ep_dops = dops[v, ch]
             dec = self.decoders.get(prn)
             base_sym = self.sym_count[prn]
+            # accumulated carrier phase integrates on host in float64
+            # (gnss_synchro Carrier_phase_rads analogue; the device carries
+            # only the wrapped remainder)
+            ep_lens = lens[v, ch]
+            acc0 = self.carrier_phase_acc.get(prn, 0.0)
+            deltas = 2.0 * np.pi * ep_dops.astype(np.float64) * (
+                ep_lens.astype(np.float64) / self.cfg.fs_hz)
+            acc_series = acc0 + np.cumsum(deltas)
+            self.carrier_phase_acc[prn] = float(acc_series[-1]) if len(
+                acc_series) else acc0
             if dec is not None:
                 dec.push(prompts.real, ep_starts)
                 hist = self.histories[prn]
                 for k in range(len(prompts)):
                     tow = dec.tow_at_symbol(base_sym + k)
                     if tow is not None:
-                        hist.push(int(ep_starts[k]), tow, float(ep_dops[k]))
+                        hist.push(int(ep_starts[k]), tow, float(ep_dops[k]),
+                                  float(acc_series[k]))
             self.sym_count[prn] = base_sym + len(prompts)
             if not bool(active[-1, ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)

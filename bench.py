@@ -149,7 +149,7 @@ def main() -> None:
     signal.signal(signal.SIGALRM, _timeout)
     budget = int(os.environ.get("GNSS_BENCH_WATCHDOG",
                             "300" if os.environ.get("GNSS_BENCH_PLATFORM") == "cpu"
-                            else "1500"))
+                            else "3000"))
     signal.alarm(budget)
     try:
         result = run_bench()

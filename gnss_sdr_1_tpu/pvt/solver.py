@@ -53,31 +53,46 @@ def solve_pvt(
     dopplers_hz: dict[int, float] | None = None,
     carrier_freq_hz: float = 1575.42e6,
     max_iter: int = 10,
+    systems: dict[int, str] | None = None,
 ) -> PvtSolution:
     """Iterated LS position (+velocity if Dopplers given) at receiver epoch
     rx_tow_s (the uncorrected receiver clock's TOW when the measurements
-    were formed)."""
+    were formed).
+
+    `systems` (optional): prn -> system label for multi-constellation
+    solves; each additional system gets its own clock column (the
+    inter-system-bias states of rtklib_pntpos).  The reported clock bias is
+    the alphabetically-first system's.
+    """
     prns = [p for p in sorted(pseudoranges_m) if p in ephemerides]
     n = len(prns)
     invalid = PvtSolution(False, np.zeros(3), 0.0, np.zeros(3), 0.0, rx_tow_s)
-    if n < 4:
+    if systems is None:
+        systems = {p: "G" for p in prns}
+    sys_list = sorted({systems.get(p, "G") for p in prns})
+    n_sys = len(sys_list)
+    sys_col = {s: 3 + k for k, s in enumerate(sys_list)}
+    n_unk = 3 + n_sys
+    if n < 3 + n_sys:
         return invalid
 
     pr = np.array([pseudoranges_m[p] for p in prns])
     xyz = np.zeros(3)
     dt_rx = 0.0
+    biases = np.zeros(n_sys)
     sat_pos = np.zeros((n, 3))
     sat_vel = np.zeros((n, 3))
     sat_clk = np.zeros(n)
-    h = np.zeros((n, 4))
+    h = np.zeros((n, n_unk))
 
     for _ in range(max_iter):
         for i, p in enumerate(prns):
             eph = ephemerides[p]
-            # signal flight time: remove the receiver clock bias estimate
-            # from the raw pseudorange before using it as a time interval
-            tau = pr[i] / SPEED_OF_LIGHT_M_S - dt_rx
-            t_tx = rx_tow_s - dt_rx - tau
+            bias_i = biases[sys_col[systems.get(p, "G")] - 3]
+            # signal flight time: remove this system's receiver clock bias
+            # estimate from the raw pseudorange
+            tau = pr[i] / SPEED_OF_LIGHT_M_S - bias_i
+            t_tx = rx_tow_s - bias_i - tau
             clk = satellite_clock_correction(eph, t_tx)
             t_tx -= clk  # broadcast time -> GPS time
             pos, vel = satellite_position_velocity(eph, t_tx)
@@ -86,17 +101,22 @@ def solve_pvt(
             sat_clk[i] = satellite_clock_correction(eph, t_tx)
         rho = np.linalg.norm(sat_pos - xyz, axis=1)
         los = (xyz - sat_pos) / rho[:, None]
+        h[:] = 0.0
         h[:, :3] = los
-        h[:, 3] = 1.0
-        pred = rho + SPEED_OF_LIGHT_M_S * (dt_rx - sat_clk)
+        for i, p in enumerate(prns):
+            h[i, sys_col[systems.get(p, "G")]] = 1.0
+        bias_per_sat = np.array(
+            [biases[sys_col[systems.get(p, "G")] - 3] for p in prns])
+        pred = rho + SPEED_OF_LIGHT_M_S * (bias_per_sat - sat_clk)
         resid = pr - pred
         dx, *_ = np.linalg.lstsq(h, resid, rcond=None)
         xyz = xyz + dx[:3]
-        dt_rx = dt_rx + dx[3] / SPEED_OF_LIGHT_M_S
+        biases = biases + dx[3:] / SPEED_OF_LIGHT_M_S
         if np.linalg.norm(dx[:3]) < 1e-4:
             break
     else:
         pass
+    dt_rx = biases[0]
     if not np.all(np.isfinite(xyz)):
         return invalid
 
@@ -131,5 +151,5 @@ def solve_pvt(
         dops=dops(h, xyz),
         n_sats=n,
         residuals_m=pr - (np.linalg.norm(sat_pos - xyz, axis=1)
-                          + SPEED_OF_LIGHT_M_S * (dt_rx - sat_clk)),
+                          + SPEED_OF_LIGHT_M_S * (bias_per_sat - sat_clk)),
     )

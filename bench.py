@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DURATION_S = 5.0
 FS = 4.092e6          # 4 samples/chip
-N_CH = 12
+N_CH = int(os.environ.get("GNSS_BENCH_CHANNELS", "12"))
 WARMUP_BLOCKS = 3
 
 
@@ -46,7 +46,8 @@ def run_bench() -> dict:
     enable_persistent_compilation_cache()
 
     rng = np.random.default_rng(42)
-    prns = list(range(1, N_CH + 1))
+    prns = list(range(1, min(N_CH, 32) + 1))
+    slots = [k % len(prns) for k in range(N_CH)]
     sats = [
         SatParams(
             prn=p,
@@ -65,14 +66,17 @@ def run_bench() -> dict:
         carrier_freq_hz=1575.42e6, n_channels=N_CH,
         # FFT-lag correlator: the TPU fast path (per-sample gathers
         # serialize on the terminal backend); CPU uses it too for parity
-        correlator=os.environ.get("GNSS_BENCH_CORRELATOR", "fft"),
+        correlator=os.environ.get(
+            "GNSS_BENCH_CORRELATOR",
+            "fft" if dev == "tpu" else "gather"),
     )
     eng = TrackingEngine(cfg, np.stack([codes[p] for p in prns]))
     st = eng.init_state()
-    for ch, p in enumerate(prns):
+    for ch in range(N_CH):
+        s = sats[slots[ch]]
         st = eng.activate_channel(
-            st, ch, ch, sats[ch].delay_chips / 1.023e6 * FS,
-            sats[ch].doppler_hz, 0, 0,
+            st, ch, slots[ch], s.delay_chips / 1.023e6 * FS,
+            s.doppler_hz, 0, 0,
         )
 
     import jax
@@ -129,7 +133,7 @@ def run_bench() -> dict:
     assert n_valid > 0.85 * expected_epochs
 
     return {
-        "metric": f"real_time_factor_12ch_gps_l1_tracking_{dev}",
+        "metric": f"real_time_factor_{N_CH}ch_gps_l1_tracking_{dev}",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf, 2),

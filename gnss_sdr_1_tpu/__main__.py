@@ -114,6 +114,18 @@ def main(argv=None) -> int:
             nmea.append(printers.nmea_gga(s, utc))
             nmea.append(printers.nmea_rmc(s, utc))
         (out / "position.nmea").write_text("\n".join(nmea) + "\n")
+        if rx.obs_epochs:
+            week = next((d.ephemeris.week for d in rx.decoders.values()
+                         if d.ephemeris_complete), 0) + 2048
+            obs_txt = [printers.rinex_obs_header(
+                approx_xyz=sols[-1].rx_ecef_m)]
+            for tow, obs in rx.obs_epochs:
+                obs_txt.append(printers.rinex_obs_epoch(week, tow, {
+                    p: {"pseudorange_m": o.pseudorange_m,
+                        "carrier_phase_cycles": o.carrier_phase_cycles,
+                        "doppler_hz": o.doppler_hz}
+                    for p, o in obs.items()}))
+            (out / "observables.rnx").write_text("".join(obs_txt))
         ephs = {p: d.ephemeris for p, d in rx.decoders.items()
                 if d.ephemeris_complete}
         if ephs:

@@ -304,6 +304,66 @@ class PcpsAcquisition:
             samplestamp=samplestamp,
         )
 
+    def acquire_tong(self, samples: np.ndarray, tong_init: int = 2,
+                     tong_max: int = 10, max_dwells: int = 30,
+                     samplestamp: int = 0) -> AcqResult:
+        """Tong sequential detector (pcps_tong_acquisition_cc analogue).
+
+        Per-channel counter starts at `tong_init`; each single-dwell
+        statistic above threshold increments it, below decrements; reaching
+        `tong_max` declares the satellite present, reaching 0 absent.
+        Sequential detection reaches a decision in far fewer dwells than a
+        fixed-dwell test at the same Pfa (Tong 1973).
+        """
+        cfg = self.cfg
+        F = cfg.fft_size
+        need = cfg.coherent_samples
+        C = len(self.prns)
+        from ..utils.planar import to_planar
+
+        counters = np.full(C, tong_init, dtype=np.int64)
+        decided = np.zeros(C, dtype=bool)
+        positive = np.zeros(C, dtype=bool)
+        best = {
+            "delay": np.zeros(C), "doppler": np.zeros(C), "stat": np.zeros(C)
+        }
+        zero_grid = jnp.zeros(
+            (C, cfg.num_doppler_bins, cfg.effective_size), dtype=jnp.float32)
+        for dwell in range(max_dwells):
+            start = dwell * need
+            if start + 1 > len(samples):
+                break
+            blk = np.zeros(F, dtype=np.complex64)
+            chunk = samples[start : start + F]
+            blk[: len(chunk)] = chunk
+            _, stats = _pcps_core(
+                jnp.asarray(to_planar(blk)), self._code_fft_conj,
+                self._wipeoffs, zero_grid, cfg.effective_size,
+                cfg.samples_per_code, cfg.samples_per_chip)
+            stat_cfar, stat_ratio, delay, d_idx, _ = jax.device_get(stats)
+            stat = stat_cfar if cfg.use_cfar else stat_ratio
+            hit = stat > self._threshold
+            upd = ~decided
+            counters[upd & hit] += 1
+            counters[upd & ~hit] -= 1
+            better = upd & (stat > best["stat"])
+            best["stat"][better] = stat[better]
+            best["delay"][better] = delay[better]
+            best["doppler"][better] = self._doppler_bins[d_idx][better]
+            newly_pos = upd & (counters >= tong_max)
+            newly_neg = upd & (counters <= 0)
+            positive[newly_pos] = True
+            decided |= newly_pos | newly_neg
+            if decided.all():
+                break
+        return AcqResult(
+            positive=positive,
+            delay_samples=best["delay"],
+            doppler_hz=best["doppler"],
+            test_stat=best["stat"],
+            samplestamp=samplestamp,
+        )
+
     @property
     def threshold(self) -> float:
         return self._threshold

@@ -122,6 +122,7 @@ class Receiver:
         self.rx_tow_s: float | None = None
         self.rx_tow_sample: int | None = None
         self.solutions: list[PvtSolution] = []
+        self.obs_epochs: list[tuple[float, dict]] = []
         self._pos = 0          # absolute sample index of next block start
         self._blocks_done = 0
         self._next_obs_sample = None
@@ -247,6 +248,8 @@ class Receiver:
             else:
                 rx_tow = self.rx_tow_s + (rx_sample - self.rx_tow_sample) / cfg.fs_hz
                 _, obs = compute_observables(ready_hist, rx_sample, cfg.fs_hz, rx_tow)
+            if obs:
+                self.obs_epochs.append((rx_tow, obs))
             if len(obs) >= 4:
                 ephs = {p: self.decoders[p].ephemeris for p in obs}
                 sol = solve_pvt(

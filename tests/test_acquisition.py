@@ -92,3 +92,21 @@ def test_threshold_from_pfa_rule():
     expect = -math.log1p(-val) / 4000
     assert thr == pytest.approx(expect, rel=1e-12)
     assert 0 < thr < 1.0
+
+
+def test_tong_sequential_detector():
+    """Tong counter converges to present/absent decisions
+    (pcps_tong_acquisition_cc analogue)."""
+    codes = {p: gps_l1ca_code(p) for p in range(1, 9)}
+    x = generate_baseband(
+        GPS_L1_CA,
+        [SatParams(prn=4, doppler_hz=500.0, delay_chips=222.0, cn0_dbhz=45)],
+        codes, FS, 0.040, noise=True, seed=9,
+    )
+    eng = _engine(max_dwells=1, threshold=1.6)
+    r = eng.acquire_tong(x, tong_init=2, tong_max=8, max_dwells=30)
+    i = eng.prns.index(4)
+    assert r.positive[i]
+    assert abs(r.delay_samples[i] - 222.0 / 1.023e6 * FS) <= 2.0
+    others = np.delete(r.positive, i)
+    assert not others.any()

@@ -123,7 +123,8 @@ def main(argv=None) -> int:
                 obs_txt.append(printers.rinex_obs_epoch(week, tow, {
                     p: {"pseudorange_m": o.pseudorange_m,
                         "carrier_phase_cycles": o.carrier_phase_cycles,
-                        "doppler_hz": o.doppler_hz}
+                        "doppler_hz": o.doppler_hz,
+                        "cn0_dbhz": o.cn0_dbhz}
                     for p, o in obs.items()}))
             (out / "observables.rnx").write_text("".join(obs_txt))
         ephs = {p: d.ephemeris for p, d in rx.decoders.items()

@@ -33,17 +33,21 @@ class ChannelEpochHistory:
         self.tow_s: list[float] = []         # transmit TOW at epoch start
         self.doppler_hz: list[float] = []
         self.carrier_phase_rad: list[float] = []  # accumulated (host f64)
+        self.cn0_dbhz: list[float] = []
 
-    def push(self, start_sample, tow_s, doppler_hz, carrier_phase_rad=0.0):
+    def push(self, start_sample, tow_s, doppler_hz, carrier_phase_rad=0.0,
+             cn0_dbhz=0.0):
         self.start_samples.append(int(start_sample))
         self.tow_s.append(float(tow_s))
         self.doppler_hz.append(float(doppler_hz))
         self.carrier_phase_rad.append(float(carrier_phase_rad))
+        self.cn0_dbhz.append(float(cn0_dbhz))
         if len(self.start_samples) > self.max_len:
             del self.start_samples[0]
             del self.tow_s[0]
             del self.doppler_hz[0]
             del self.carrier_phase_rad[0]
+            del self.cn0_dbhz[0]
 
     def interpolate(self, rx_sample: int, fs_hz: float):
         """Linear interpolation of (TOW, doppler, phase) at rx_sample.
@@ -65,7 +69,7 @@ class ChannelEpochHistory:
         ph = self.carrier_phase_rad[i0] + w * (
             self.carrier_phase_rad[i1] - self.carrier_phase_rad[i0]
         )
-        return tow, dop, ph
+        return tow, dop, ph, self.cn0_dbhz[i1]
 
 
 @dataclasses.dataclass
@@ -75,6 +79,7 @@ class Observation:
     tow_s: float
     doppler_hz: float
     carrier_phase_cycles: float
+    cn0_dbhz: float = 0.0
 
 
 def compute_observables(
@@ -105,7 +110,7 @@ def compute_observables(
         )
 
     obs: dict[int, Observation] = {}
-    for prn, (tow, dop, ph) in interps.items():
+    for prn, (tow, dop, ph, cn0) in interps.items():
         pr = (rx_tow_s - tow) * SPEED_OF_LIGHT_M_S
         obs[prn] = Observation(
             prn=prn,
@@ -113,5 +118,6 @@ def compute_observables(
             tow_s=tow,
             doppler_hz=dop,
             carrier_phase_cycles=ph / (2.0 * np.pi),
+            cn0_dbhz=cn0,
         )
     return rx_tow_s, obs

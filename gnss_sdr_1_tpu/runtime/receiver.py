@@ -182,6 +182,7 @@ class Receiver:
         corr = from_planar_np(np.asarray(outs.correlators))   # [E, C, K]
         dops = np.asarray(outs.carrier_doppler_hz)
         lens = np.asarray(outs.cur_len)
+        cn0s = np.asarray(outs.cn0_dbhz)
         active = np.asarray(outs.active)
         p_idx = self.trk.cfg.prompt_index
         for ch, prn in enumerate(self.channel_prn):
@@ -208,6 +209,7 @@ class Receiver:
             acc_series = acc0 + np.cumsum(deltas)
             self.carrier_phase_acc[prn] = float(acc_series[-1]) if len(
                 acc_series) else acc0
+            ep_cn0 = cn0s[v, ch]
             if dec is not None:
                 dec.push(prompts.real, ep_starts)
                 hist = self.histories[prn]
@@ -215,7 +217,7 @@ class Receiver:
                     tow = dec.tow_at_symbol(base_sym + k)
                     if tow is not None:
                         hist.push(int(ep_starts[k]), tow, float(ep_dops[k]),
-                                  float(acc_series[k]))
+                                  float(acc_series[k]), float(ep_cn0[k]))
             self.sym_count[prn] = base_sym + len(prompts)
             if not bool(active[-1, ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)

@@ -99,6 +99,9 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
         acq_threshold=float(conf.property(f"Acquisition{sig}.threshold", 2.0)),
         acq_use_cfar=conf.property(f"Acquisition{sig}.use_CFAR_algorithm", False),
         acq_dwells=int(conf.property(f"Acquisition{sig}.max_dwells", 2)),
+        acq_tong=conf.property(
+            f"Acquisition{sig}.implementation", "").endswith(
+            "Tong_Acquisition"),
         pll_bw_hz=float(conf.property(f"Tracking{sig}.pll_bw_hz", 25.0)),
         dll_bw_hz=float(conf.property(f"Tracking{sig}.dll_bw_hz", 2.0)),
         enable_fll_pull_in=bool(conf.property(f"Tracking{sig}.enable_fll_pull_in", False)),

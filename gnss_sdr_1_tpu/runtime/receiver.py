@@ -39,6 +39,9 @@ class ReceiverConfig:
     acq_use_cfar: bool = False
     acq_dwells: int = 2
     acq_two_steps: bool = True
+    acq_tong: bool = False           # Tong sequential detector
+    tong_init: int = 2
+    tong_max: int = 10
     doppler_step2_hz: float = 40.0
     num_doppler_bins_step2: int = 10
     # tracking
@@ -135,7 +138,13 @@ class Receiver:
         idle_channels = [c for c, p in enumerate(self.channel_prn) if p is None]
         if not idle_channels:
             return
-        res = self.acq.acquire(samples, samplestamp=samples_abs_offset)
+        if self.cfg.acq_tong:
+            res = self.acq.acquire_tong(
+                samples, tong_init=self.cfg.tong_init,
+                tong_max=self.cfg.tong_max,
+                samplestamp=samples_abs_offset)
+        else:
+            res = self.acq.acquire(samples, samplestamp=samples_abs_offset)
         tracked = {p for p in self.channel_prn if p is not None}
         order = np.argsort(-res.test_stat)
         for k in order:

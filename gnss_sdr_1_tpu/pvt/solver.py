@@ -13,7 +13,8 @@ import dataclasses
 import numpy as np
 
 from ..constants import SPEED_OF_LIGHT_M_S, GPS_OMEGA_EARTH_DOT
-from ..telemetry.lnav import GpsEphemeris
+from ..telemetry.lnav import GpsEphemeris, GpsIono
+from .atmosphere import klobuchar_delay_m, saastamoinen_delay_m
 from .ephemeris import satellite_clock_correction, satellite_position_velocity
 from .geodesy import az_el, dops, ecef_to_llh
 
@@ -54,6 +55,10 @@ def solve_pvt(
     carrier_freq_hz: float = 1575.42e6,
     max_iter: int = 10,
     systems: dict[int, str] | None = None,
+    iono: GpsIono | None = None,
+    apply_tropo: bool = False,
+    el_mask_deg: float = 0.0,
+    weighted: bool = False,
 ) -> PvtSolution:
     """Iterated LS position (+velocity if Dopplers given) at receiver epoch
     rx_tow_s (the uncorrected receiver clock's TOW when the measurements
@@ -63,6 +68,12 @@ def solve_pvt(
     solves; each additional system gets its own clock column (the
     inter-system-bias states of rtklib_pntpos).  The reported clock bias is
     the alphabetically-first system's.
+
+    `iono` enables Klobuchar correction, `apply_tropo` Saastamoinen,
+    `el_mask_deg` excludes low satellites, `weighted` applies
+    elevation-dependent measurement variances — the ionocorr/tropcorr/
+    varerr chain of rtklib_pntpos.cc rescode()/estpos().  All engage only
+    once an initial (unaided) position estimate exists.
     """
     prns = [p for p in sorted(pseudoranges_m) if p in ephemerides]
     n = len(prns)
@@ -108,8 +119,32 @@ def solve_pvt(
         bias_per_sat = np.array(
             [biases[sys_col[systems.get(p, "G")] - 3] for p in prns])
         pred = rho + SPEED_OF_LIGHT_M_S * (bias_per_sat - sat_clk)
-        resid = pr - pred
-        dx, *_ = np.linalg.lstsq(h, resid, rcond=None)
+        # Atmospheric corrections + elevation weighting need a position
+        # estimate; they engage once the first unaided iteration converges
+        # out of the earth's centre (rtklib_pntpos.cc rescode()).
+        atm = np.zeros(n)
+        w = np.ones(n)
+        if np.linalg.norm(xyz) > 1e6 and (
+                iono is not None or apply_tropo or weighted
+                or el_mask_deg > 0.0):
+            lat_r, lon_r, hgt_r = ecef_to_llh(xyz)
+            for i in range(n):
+                az, el = az_el(xyz, sat_pos[i])
+                if iono is not None:
+                    atm[i] += klobuchar_delay_m(
+                        iono, lat_r, lon_r, az, el, rx_tow_s,
+                        carrier_freq_hz)
+                if apply_tropo:
+                    atm[i] += saastamoinen_delay_m(lat_r, hgt_r, el)
+                if el < np.radians(el_mask_deg):
+                    w[i] = 0.0
+                elif weighted:
+                    # rtklib varerr: var = a^2 + b^2/sin(el), a=b=0.3 m
+                    w[i] = 1.0 / np.sqrt(0.09 + 0.09 / max(np.sin(el), .05))
+            if np.count_nonzero(w) < n_unk:
+                return invalid
+        resid = pr - pred - atm
+        dx, *_ = np.linalg.lstsq(h * w[:, None], resid * w, rcond=None)
         xyz = xyz + dx[:3]
         biases = biases + dx[3:] / SPEED_OF_LIGHT_M_S
         if np.linalg.norm(dx[:3]) < 1e-4:
@@ -151,5 +186,6 @@ def solve_pvt(
         dops=dops(h, xyz),
         n_sats=n,
         residuals_m=pr - (np.linalg.norm(sat_pos - xyz, axis=1)
-                          + SPEED_OF_LIGHT_M_S * (bias_per_sat - sat_clk)),
+                          + SPEED_OF_LIGHT_M_S * (bias_per_sat - sat_clk)
+                          + atm),
     )

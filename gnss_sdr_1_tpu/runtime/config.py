@@ -105,4 +105,12 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
         pll_bw_hz=float(conf.property(f"Tracking{sig}.pll_bw_hz", 25.0)),
         dll_bw_hz=float(conf.property(f"Tracking{sig}.dll_bw_hz", 2.0)),
         enable_fll_pull_in=bool(conf.property(f"Tracking{sig}.enable_fll_pull_in", False)),
+        # PVT corrections: the reference's PVT.iono_model/trop_model
+        # (rtklib_pvt.cc config keys; values Broadcast_Klobuchar/OFF and
+        # Saastamoinen/OFF) and PVT.elevation_mask
+        iono_model=("off" if str(conf.property("PVT.iono_model",
+                    "Broadcast_Klobuchar")).upper() == "OFF" else "broadcast"),
+        trop_model=("saastamoinen" if str(conf.property(
+            "PVT.trop_model", "OFF")).lower().startswith("saas") else "off"),
+        elevation_mask_deg=float(conf.property("PVT.elevation_mask", 5.0)),
     )

@@ -56,6 +56,14 @@ class ReceiverConfig:
     block_ms: int = 40
     obs_interval_ms: int = 20
     reacq_interval_blocks: int = 25
+    # PVT corrections (PVT.iono_model / PVT.trop_model / PVT.elevation_mask
+    # in the reference's conf files, applied via rtklib_pntpos)
+    iono_model: str = "broadcast"    # 'off' | 'broadcast' (Klobuchar)
+    trop_model: str = "off"          # 'off' | 'saastamoinen' (synthetic
+    #   captures carry no troposphere; real-capture confs enable it via
+    #   PVT.trop_model=Saastamoinen)
+    elevation_mask_deg: float = 5.0
+    pvt_weighted: bool = True
 
     @property
     def spec(self) -> SignalSpec:
@@ -168,6 +176,11 @@ class Receiver:
                 from ..telemetry.channel_adapters import GalileoChannelDecoder
 
                 self.decoders[prn] = GalileoChannelDecoder(prn)
+            elif self.cfg.signal_id == "5X":
+                from ..telemetry.channel_adapters import (
+                    GalileoE5aChannelDecoder)
+
+                self.decoders[prn] = GalileoE5aChannelDecoder(prn)
             elif self.cfg.signal_id in ("1G", "2G"):
                 from ..telemetry.channel_adapters import GlonassChannelDecoder
 
@@ -263,12 +276,23 @@ class Receiver:
                 self.obs_epochs.append((rx_tow, obs))
             if len(obs) >= 4:
                 ephs = {p: self.decoders[p].ephemeris for p in obs}
+                iono = None
+                if cfg.iono_model == "broadcast":
+                    for p in obs:
+                        dec_iono = getattr(self.decoders[p], "iono", None)
+                        if dec_iono is not None and dec_iono.valid:
+                            iono = dec_iono
+                            break
                 sol = solve_pvt(
                     ephs,
                     {p: o.pseudorange_m for p, o in obs.items()},
                     rx_tow,
                     dopplers_hz={p: o.doppler_hz for p, o in obs.items()},
                     carrier_freq_hz=cfg.spec.carrier_freq_hz,
+                    iono=iono,
+                    apply_tropo=cfg.trop_model == "saastamoinen",
+                    el_mask_deg=cfg.elevation_mask_deg,
+                    weighted=cfg.pvt_weighted,
                 )
                 if sol.valid:
                     self.solutions.append(sol)

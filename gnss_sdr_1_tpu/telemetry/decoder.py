@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .lnav import GpsEphemeris, LNAV_PREAMBLE, decode_subframe
+from .lnav import (GpsEphemeris, GpsIono, GpsUtc, LNAV_PREAMBLE,
+                   decode_subframe)
 
 _SYMBOLS_PER_BIT = 20
 _BITS_PER_SUBFRAME = 300
@@ -48,6 +49,8 @@ class LnavDecoder:
         self.frame_sync: bool = False
         self._frame_bit0: int | None = None  # bit index of first synced subframe
         self.ephemeris = GpsEphemeris(prn=prn)
+        self.iono = GpsIono()
+        self.utc = GpsUtc()
         self.have_subframes: set[int] = set()
         # TOW anchored at a symbol index: tow_s at epoch `self._tow_symbol`
         self._tow_symbol: int | None = None
@@ -142,7 +145,7 @@ class LnavDecoder:
             d29s = int(bits[i - 2]) if i >= 2 else 0
             d30s = int(bits[i - 1]) if i >= 1 else 0
             r = decode_subframe(bits[i : i + _BITS_PER_SUBFRAME], d29s, d30s,
-                                self.ephemeris)
+                                self.ephemeris, iono=self.iono, utc=self.utc)
             if r is None:
                 # parity slip: drop sync, re-search from the next bit
                 self.frame_sync = False

@@ -132,6 +132,39 @@ class GpsEphemeris:
     cis: float = 0.0
 
 
+@dataclasses.dataclass
+class GpsIono:
+    """Klobuchar ionospheric model parameters (subframe 4 page 18;
+    Gps_Iono in src/core/system_parameters/gps_iono.h, decoded at
+    gps_navigation_message.cc subframe 4 SV_ID 56 branch)."""
+
+    alpha0: float = 0.0  # s
+    alpha1: float = 0.0  # s/semicircle
+    alpha2: float = 0.0  # s/semicircle^2
+    alpha3: float = 0.0  # s/semicircle^3
+    beta0: float = 0.0   # s
+    beta1: float = 0.0
+    beta2: float = 0.0
+    beta3: float = 0.0
+    valid: bool = False
+
+
+@dataclasses.dataclass
+class GpsUtc:
+    """UTC correction parameters (subframe 4 page 18; Gps_Utc_Model,
+    src/core/system_parameters/gps_utc_model.h)."""
+
+    a0: float = 0.0      # s
+    a1: float = 0.0      # s/s
+    tot: float = 0.0     # s, reference TOW
+    wn_t: int = 0
+    delta_t_ls: int = 0  # leap seconds
+    wn_lsf: int = 0
+    dn: int = 0
+    delta_t_lsf: int = 0
+    valid: bool = False
+
+
 def _pack(fields: list[tuple[int, int]]) -> np.ndarray:
     """fields = [(value, nbits), ...] -> bit array (MSB first), 24*8=240 bits
     for 8 data words."""
@@ -153,7 +186,9 @@ def _unpack(bits: np.ndarray, widths: list[int]) -> list[int]:
     return out
 
 
-def _subframe_data_words(sf_id: int, eph: GpsEphemeris, tow_next_s: float) -> np.ndarray:
+def _subframe_data_words(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
+                         iono: GpsIono | None = None,
+                         utc: GpsUtc | None = None) -> np.ndarray:
     """Build the 10x24 source data bits of one subframe (before parity)."""
     words = np.zeros((10, 24), dtype=np.int64)
     # Word 1: TLM — preamble + message (zeros) + reserved
@@ -199,15 +234,46 @@ def _subframe_data_words(sf_id: int, eph: GpsEphemeris, tow_next_s: float) -> np
         words[9] = _pack([
             (eph.iode & 0xFF, 8), (_twoc(eph.idot, -43, 14), 14), (0, 2)
         ])
-    else:  # subframes 4/5: almanac pages — emit valid parity filler
+    elif sf_id == 4 and iono is not None and utc is not None:
+        # Page 18 (SV ID 56): iono + UTC (IS-GPS-200 20.3.3.5.1;
+        # gps_navigation_message.cc subframe 4 case, SV_ID 56 branch)
+        words[2] = _pack([
+            (1, 2), (56, 6),                    # data ID, SV(page) ID
+            (_twoc(iono.alpha0, -30, 8), 8),
+            (_twoc(iono.alpha1, -27, 8), 8),
+        ])
+        words[3] = _pack([
+            (_twoc(iono.alpha2, -24, 8), 8),
+            (_twoc(iono.alpha3, -24, 8), 8),
+            (_twoc(iono.beta0, 11, 8), 8),
+        ])
+        words[4] = _pack([
+            (_twoc(iono.beta1, 14, 8), 8),
+            (_twoc(iono.beta2, 16, 8), 8),
+            (_twoc(iono.beta3, 16, 8), 8),
+        ])
+        words[5] = _pack([(_twoc(utc.a1, -50, 24), 24)])
+        a0 = _twoc(utc.a0, -30, 32)
+        words[6] = _pack([(a0 >> 8, 24)])
+        words[7] = _pack([
+            (a0 & 0xFF, 8), (_uint(utc.tot, 12, 8), 8), (utc.wn_t % 256, 8),
+        ])
+        words[8] = _pack([
+            (_twoc(utc.delta_t_ls, 0, 8), 8), (utc.wn_lsf % 256, 8),
+            (utc.dn % 256, 8),
+        ])
+        words[9] = _pack([(_twoc(utc.delta_t_lsf, 0, 8), 8), (0, 14), (0, 2)])
+    else:  # other subframe 4/5 almanac pages — emit valid parity filler
         pass
     return words
 
 
 def encode_subframe(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
-                    d29s: int, d30s: int) -> tuple[np.ndarray, int, int]:
+                    d29s: int, d30s: int,
+                    iono: GpsIono | None = None,
+                    utc: GpsUtc | None = None) -> tuple[np.ndarray, int, int]:
     """Encode one 300-bit subframe; returns (bits, D29*, D30*) for chaining."""
-    words = _subframe_data_words(sf_id, eph, tow_next_s)
+    words = _subframe_data_words(sf_id, eph, tow_next_s, iono, utc)
     out = np.zeros(300, dtype=np.int64)
     for w in range(10):
         solve = w in (1, 9)
@@ -219,23 +285,29 @@ def encode_subframe(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
 
 def encode_lnav_frame(eph: GpsEphemeris, tow_first_s: float,
                       n_subframes: int = 5,
-                      subframe_cycle: tuple[int, ...] = (1, 2, 3, 4, 5)) -> np.ndarray:
+                      subframe_cycle: tuple[int, ...] = (1, 2, 3, 4, 5),
+                      iono: GpsIono | None = None,
+                      utc: GpsUtc | None = None) -> np.ndarray:
     """Encode consecutive subframes cycling through `subframe_cycle`,
     starting at TOW `tow_first_s` (start of the first subframe).  Returns a
     0/1 bit array of length 300*n_subframes.  (Tests use cycle (1,2,3) to
-    shorten time-to-complete-ephemeris.)"""
+    shorten time-to-complete-ephemeris.)  When iono+utc are given, every
+    subframe 4 carries page 18."""
     bits = []
     d29s = d30s = 0
     for k in range(n_subframes):
         sf_id = subframe_cycle[k % len(subframe_cycle)]
         tow_next = tow_first_s + (k + 1) * 6.0
-        sf, d29s, d30s = encode_subframe(sf_id, eph, tow_next, d29s, d30s)
+        sf, d29s, d30s = encode_subframe(sf_id, eph, tow_next, d29s, d30s,
+                                         iono, utc)
         bits.append(sf)
     return np.concatenate(bits)
 
 
 def decode_subframe(bits300: np.ndarray, d29s: int, d30s: int,
-                    eph: GpsEphemeris) -> tuple[int, float] | None:
+                    eph: GpsEphemeris,
+                    iono: GpsIono | None = None,
+                    utc: GpsUtc | None = None) -> tuple[int, float] | None:
     """Decode one 300-bit subframe into `eph` (in place).
 
     Returns (subframe_id, tow_next_s) on success or None on parity failure.
@@ -306,4 +378,35 @@ def decode_subframe(bits300: np.ndarray, d29s: int, d30s: int,
         eph.omega_dot = _sbits(omdot, 24) * 2.0**-43
         eph.iode = iode3
         eph.idot = _sbits(idot, 14) * 2.0**-43
+    elif sf_id == 4:
+        _did, svid = _unpack(data[2][:8], [2, 6])
+        if svid == 56:  # page 18: iono + UTC
+            if iono is not None:
+                _d, _s, a0i, a1i = _unpack(data[2], [2, 6, 8, 8])
+                a2i, a3i, b0 = _unpack(data[3], [8, 8, 8])
+                b1, b2, b3 = _unpack(data[4], [8, 8, 8])
+                iono.alpha0 = _sbits(a0i, 8) * 2.0**-30
+                iono.alpha1 = _sbits(a1i, 8) * 2.0**-27
+                iono.alpha2 = _sbits(a2i, 8) * 2.0**-24
+                iono.alpha3 = _sbits(a3i, 8) * 2.0**-24
+                iono.beta0 = _sbits(b0, 8) * 2.0**11
+                iono.beta1 = _sbits(b1, 8) * 2.0**14
+                iono.beta2 = _sbits(b2, 8) * 2.0**16
+                iono.beta3 = _sbits(b3, 8) * 2.0**16
+                iono.valid = True
+            if utc is not None:
+                (a1u,) = _unpack(data[5], [24])
+                (a0_hi,) = _unpack(data[6], [24])
+                a0_lo, tot, wnt = _unpack(data[7], [8, 8, 8])
+                dtls, wnlsf, dn = _unpack(data[8], [8, 8, 8])
+                dtlsf, _r, _t = _unpack(data[9], [8, 14, 2])
+                utc.a1 = _sbits(a1u, 24) * 2.0**-50
+                utc.a0 = _sbits((a0_hi << 8) | a0_lo, 32) * 2.0**-30
+                utc.tot = tot * 2.0**12
+                utc.wn_t = wnt
+                utc.delta_t_ls = _sbits(dtls, 8)
+                utc.wn_lsf = wnlsf
+                utc.dn = dn
+                utc.delta_t_lsf = _sbits(dtlsf, 8)
+                utc.valid = True
     return sf_id, tow_next_s

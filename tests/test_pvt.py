@@ -70,3 +70,94 @@ def test_ls_solver_recovers_position():
     assert np.linalg.norm(sol.rx_ecef_m - rx) < 1e-2
     assert sol.rx_clock_bias_s == pytest.approx(clock_bias, abs=1e-10)
     assert sol.dops["pdop"] < 10.0
+
+
+# ---------------------------------------------------------------------------
+# Atmospheric models (rtklib_rtkcmn.cc ionmodel/tropmodel parity)
+# ---------------------------------------------------------------------------
+
+def _typical_iono():
+    from gnss_sdr_1_tpu.telemetry.lnav import GpsIono
+    return GpsIono(alpha0=1.1176e-8, alpha1=7.4506e-9, alpha2=-5.9605e-8,
+                   alpha3=-5.9605e-8, beta0=90112.0, beta1=16384.0,
+                   beta2=-196608.0, beta3=-65536.0, valid=True)
+
+
+def test_klobuchar_night_dc_term():
+    """With zeroed coefficients the model reduces to the 5 ns DC term times
+    the obliquity factor."""
+    from gnss_sdr_1_tpu.pvt.atmosphere import klobuchar_delay_m
+    from gnss_sdr_1_tpu.telemetry.lnav import GpsIono
+    iono = GpsIono(valid=True)
+    d_zenith = klobuchar_delay_m(iono, np.radians(40.0), np.radians(-100.0),
+                                 0.0, np.radians(90.0), 20.0 * 3600)
+    f = 1.0 + 16.0 * (0.53 - 0.5) ** 3
+    assert d_zenith == pytest.approx(SPEED_OF_LIGHT_M_S * 5e-9 * f, rel=1e-9)
+    # low elevation -> larger slant factor
+    d_low = klobuchar_delay_m(iono, np.radians(40.0), np.radians(-100.0),
+                              0.0, np.radians(10.0), 20.0 * 3600)
+    assert d_low > 2.0 * d_zenith
+
+
+def test_klobuchar_daytime_magnitude_and_band_scaling():
+    from gnss_sdr_1_tpu.pvt.atmosphere import klobuchar_delay_m
+    iono = _typical_iono()
+    # local solar noon: t = 50400 s at lon 0 -> tow 50400
+    d_l1 = klobuchar_delay_m(iono, np.radians(35.0), 0.0,
+                             np.radians(90.0), np.radians(45.0), 50400.0)
+    assert 2.0 < d_l1 < 40.0          # metres, daytime mid-latitude
+    d_night = klobuchar_delay_m(iono, np.radians(35.0), 0.0,
+                                np.radians(90.0), np.radians(45.0), 10000.0)
+    assert d_l1 > d_night
+    # L5 delay scales with (f_L1/f_L5)^2
+    d_l5 = klobuchar_delay_m(iono, np.radians(35.0), 0.0,
+                             np.radians(90.0), np.radians(45.0), 50400.0,
+                             carrier_freq_hz=1176.45e6)
+    assert d_l5 == pytest.approx(d_l1 * (1575.42 / 1176.45) ** 2, rel=1e-12)
+
+
+def test_saastamoinen_zenith_and_slant():
+    from gnss_sdr_1_tpu.pvt.atmosphere import saastamoinen_delay_m
+    z = saastamoinen_delay_m(np.radians(45.0), 0.0, np.radians(90.0))
+    assert 2.2 < z < 2.6              # sea-level zenith total delay
+    s30 = saastamoinen_delay_m(np.radians(45.0), 0.0, np.radians(30.0))
+    assert s30 == pytest.approx(2.0 * z, rel=0.02)   # ~1/sin(el) mapping
+    high = saastamoinen_delay_m(np.radians(45.0), 5000.0, np.radians(90.0))
+    assert high < 0.6 * z             # thin atmosphere at altitude
+    assert saastamoinen_delay_m(np.radians(45.0), 0.0, -0.1) == 0.0
+
+
+def test_solver_removes_injected_atmospheric_errors():
+    """Inject Klobuchar+Saastamoinen delays into the synthetic pseudoranges;
+    the corrected solve recovers the position, the uncorrected one is
+    metres off (rtklib_pntpos.cc estpos with/without corrections)."""
+    from gnss_sdr_1_tpu.pvt.atmosphere import (klobuchar_delay_m,
+                                               saastamoinen_delay_m)
+    from gnss_sdr_1_tpu.siggen.scenario import build_scenario
+    lat, lon, hgt = np.radians(41.275), np.radians(1.988), 80.0
+    rx = llh_to_ecef(lat, lon, hgt)
+    t_rx = 50400.0        # daytime -> large iono
+    iono = _typical_iono()
+    prns = [1, 2, 3, 4, 5, 6, 7, 8]
+    scen = build_scenario(rx, prns, t0_tow=t_rx, duration_s=1.0)
+    ephs, prs, els = scen.ephemerides, {}, {}
+    for p in prns:
+        sat = satellite_position_velocity(ephs[p], t_rx)[0]
+        az, el = az_el(rx, sat)
+        els[p] = el
+        if el < np.radians(5.0):
+            continue
+        tau_obs = observed_delay_s(ephs[p], rx, t_rx)
+        atm = (klobuchar_delay_m(iono, lat, lon, az, el, t_rx)
+               + saastamoinen_delay_m(lat, hgt, el))
+        prs[p] = tau_obs * SPEED_OF_LIGHT_M_S + atm
+    assert len(prs) >= 5
+    ephs_v = {p: ephs[p] for p in prs}
+    sol_raw = solve_pvt(ephs_v, prs, t_rx)
+    sol_cor = solve_pvt(ephs_v, prs, t_rx, iono=iono, apply_tropo=True,
+                        el_mask_deg=5.0, weighted=True)
+    assert sol_cor.valid
+    err_raw = np.linalg.norm(sol_raw.rx_ecef_m - rx)
+    err_cor = np.linalg.norm(sol_cor.rx_ecef_m - rx)
+    assert err_cor < 0.05
+    assert err_raw > 10 * max(err_cor, 1e-3)

@@ -100,3 +100,30 @@ def test_stream_decoder_bit_and_frame_sync():
     assert tow == pytest.approx(tow0, abs=1e-9)
     tow2 = dec.tow_at_symbol(offset + 12345)
     assert tow2 == pytest.approx(tow0 + 12.345, abs=1e-9)
+
+
+def test_lnav_subframe4_page18_iono_utc_roundtrip():
+    """Subframe 4 page 18 carries iono+UTC; encode -> decode recovers every
+    field at its ICD quantization (gps_navigation_message.cc SV_ID 56)."""
+    from gnss_sdr_1_tpu.telemetry.lnav import (GpsEphemeris, GpsIono, GpsUtc,
+                                               decode_subframe,
+                                               encode_subframe)
+    iono = GpsIono(alpha0=1.1176e-8, alpha1=-7.4506e-9, alpha2=-5.9605e-8,
+                   alpha3=1.1921e-7, beta0=90112.0, beta1=-16384.0,
+                   beta2=-196608.0, beta3=65536.0)
+    utc = GpsUtc(a0=-9.3132e-9, a1=2.6645e-15, tot=405504.0, wn_t=150,
+                 delta_t_ls=18, wn_lsf=137, dn=7, delta_t_lsf=18)
+    eph = GpsEphemeris()
+    bits, _, _ = encode_subframe(4, eph, 12.0, 0, 0, iono=iono, utc=utc)
+    iono2, utc2 = GpsIono(), GpsUtc()
+    out = decode_subframe(bits, 0, 0, GpsEphemeris(), iono=iono2, utc=utc2)
+    assert out is not None and out[0] == 4
+    assert iono2.valid and utc2.valid
+    for f in ("alpha0", "alpha1", "alpha2", "alpha3",
+              "beta0", "beta1", "beta2", "beta3"):
+        assert getattr(iono2, f) == pytest.approx(getattr(iono, f), rel=1e-3)
+    assert utc2.a0 == pytest.approx(utc.a0, abs=2.0**-30)
+    assert utc2.a1 == pytest.approx(utc.a1, abs=2.0**-50)
+    assert (utc2.tot, utc2.wn_t) == (utc.tot, utc.wn_t)
+    assert (utc2.delta_t_ls, utc2.wn_lsf, utc2.dn, utc2.delta_t_lsf) == \
+        (utc.delta_t_ls, utc.wn_lsf, utc.dn, utc.delta_t_lsf)

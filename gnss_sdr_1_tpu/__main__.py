@@ -133,6 +133,31 @@ def main(argv=None) -> int:
             nav = printers.rinex_nav_header() + "".join(
                 printers.rinex_nav_record(e) for e in ephs.values())
             (out / "brdc.rnx").write_text(nav)
+        # RTCM 3.2 stream: station + ephemerides + MSM7 epochs
+        # (rtcm_printer.cc Print_Rtcm_MSM / Print_Rtcm_MT1019)
+        from .pvt import rtcm as rtcm_mod
+        system = rtcm_mod.SYSTEM_OF_SIGNAL.get(rcfg.signal_id, "GPS")
+        lam = (299792458.0 / rcfg.signal.carrier_freq_hz
+               if hasattr(rcfg, "signal") else 0.1903)
+        frames = [rtcm_mod.encode_mt1005(
+            1234, sols[-1].rx_ecef_m,
+            gps=system == "GPS", glonass=system == "GLONASS",
+            galileo=system == "Galileo")]
+        frames += [f for f in (rtcm_mod.encode_ephemeris(e)
+                               for e in ephs.values()) if f]
+        t_first = rx.obs_epochs[0][0] if rx.obs_epochs else 0.0
+        for tow, obs in rx.obs_epochs:
+            msm_obs = [rtcm_mod.MsmObs(
+                sat=p, signal=rcfg.signal_id,
+                pseudorange_m=o.pseudorange_m,
+                phase_range_m=o.carrier_phase_cycles * lam,
+                phase_rate_ms=-o.doppler_hz * lam,
+                lock_time_s=tow - t_first, cn0_dbhz=o.cn0_dbhz)
+                for p, o in obs.items()]
+            if msm_obs:
+                frames.append(rtcm_mod.encode_msm(
+                    system, 7, 1234, int(tow * 1e3) % 604800000, msm_obs))
+        (out / "observables.rtcm").write_bytes(b"".join(frames))
         print(f"Outputs written to {out}/")
     else:
         print("No position fix obtained.")

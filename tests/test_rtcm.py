@@ -1,0 +1,196 @@
+"""RTCM 3.2 encoder round-trip tests (reference: rtcm_test.cc — the
+reference validates its encoder the same way, by reading back its own
+bits)."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from gnss_sdr_1_tpu.pvt import rtcm
+from gnss_sdr_1_tpu.telemetry.gnav import GlonassEphemeris
+from gnss_sdr_1_tpu.telemetry.inav import GalileoEphemeris
+from gnss_sdr_1_tpu.telemetry.lnav import GpsEphemeris
+
+
+def test_frame_crc_and_deframe():
+    payload = bytes([0x3F, 0xD0, 0x12, 0x34])
+    f = rtcm.frame(payload)
+    assert f[0] == 0xD3
+    msgnum, p = rtcm.deframe(f)
+    assert p == payload
+    assert msgnum == (payload[0] << 4) | (payload[1] >> 4)
+    # corrupt one byte -> CRC failure
+    bad = bytearray(f)
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError):
+        rtcm.deframe(bytes(bad))
+
+
+def test_mt1005_roundtrip():
+    ecef = (4027893.8056, 307045.6002, 4919475.1327)
+    f = rtcm.encode_mt1005(1234, ecef, gps=True, galileo=True)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1005
+    d = rtcm.decode_mt1005(payload)
+    assert d["station_id"] == 1234
+    assert d["gps"] and d["galileo"] and not d["glonass"]
+    np.testing.assert_allclose(d["ecef_m"], ecef, atol=1e-4)
+
+
+def test_mt1006_height():
+    # DF028 is 16 bits at 0.1 mm -> heights up to 6.5535 m (RTCM limit)
+    f = rtcm.encode_mt1005(7, (1.0, 2.0, 3.0), height_m=1.2345)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1006
+    d = rtcm.decode_mt1005(payload)
+    assert abs(d["height_m"] - 1.2345) < 1e-4
+
+
+def _gps_eph():
+    return GpsEphemeris(
+        prn=17, week=1024 + 230, toc=302400.0, af0=-3.2e-4, af1=1.1e-11,
+        af2=0.0, tgd=4.6e-9, iodc=321, iode=65, toe=302400.0,
+        sqrt_a=5153.653, e=0.0123, m0=0.312, delta_n=1.2e-9, omega0=-0.721,
+        i0=0.305, omega=0.112, omega_dot=-2.5e-9, idot=1.2e-10,
+        cuc=1.1e-6, cus=-2.2e-6, crc=200.5, crs=-41.2, cic=3.3e-8,
+        cis=-1.2e-8, sv_health=0)
+
+
+def test_mt1019_roundtrip():
+    eph = _gps_eph()
+    msgnum, payload = rtcm.deframe(rtcm.encode_mt1019(eph))
+    assert msgnum == 1019
+    out = rtcm.decode_mt1019(payload)
+    assert out.prn == eph.prn
+    assert out.iodc == eph.iodc and out.iode == eph.iode
+    assert out.toe == eph.toe and out.toc == eph.toc
+    # quantization-bounded fields
+    assert abs(out.sqrt_a - eph.sqrt_a) < 2**-19
+    assert abs(out.e - eph.e) < 2**-33
+    for name in ("m0", "omega0", "i0", "omega"):
+        assert abs(getattr(out, name) - getattr(eph, name)) < 2**-31
+    assert abs(out.af0 - eph.af0) < 2**-31
+    assert abs(out.omega_dot - eph.omega_dot) < 2**-43
+    assert abs(out.crc - eph.crc) < 2**-5
+    assert abs(out.tgd - eph.tgd) < 2**-31
+
+
+def test_mt1045_roundtrip():
+    eph = GalileoEphemeris(
+        prn=11, wn=1130, iod_nav=87, toe=356400.0, toc=356400.0,
+        sqrt_a=5440.6, e=2.3e-4, m0=-0.25, delta_n=8.1e-10, omega0=0.41,
+        i0=0.311, omega=-0.6, omega_dot=-1.8e-9, idot=-6e-11,
+        cuc=-5e-7, cus=8e-6, crc=131.1, crs=-9.8, cic=2e-8, cis=4e-8,
+        af0=6.1e-4, af1=-8.2e-12, af2=0.0)
+    msgnum, payload = rtcm.deframe(rtcm.encode_mt1045(eph))
+    assert msgnum == 1045
+    out = rtcm.decode_mt1045(payload)
+    assert out.prn == eph.prn and out.wn == eph.wn
+    assert out.iod_nav == eph.iod_nav
+    assert out.toe == eph.toe
+    assert abs(out.sqrt_a - eph.sqrt_a) < 2**-19
+    assert abs(out.m0 - eph.m0) < 2**-31
+    assert abs(out.af0 - eph.af0) < 2**-34
+    assert abs(out.af1 - eph.af1) < 2**-46
+
+
+def test_mt1020_roundtrip():
+    eph = GlonassEphemeris(
+        slot=5, freq_channel=-4, tb_s=8100.0, tk_s=8130.0,
+        x_km=11987.33, y_km=-18234.12, z_km=9123.001,
+        vx_kms=1.25553, vy_kms=-0.33221, vz_kms=2.11113,
+        ax_kms2=2.8e-9, ay_kms2=-9.3e-10, az_kms2=0.0,
+        gamma_n=1.8e-11, tau_n_s=-6.7e-5, health_bn=0, nt_days=731)
+    msgnum, payload = rtcm.deframe(rtcm.encode_mt1020(eph))
+    assert msgnum == 1020
+    out = rtcm.decode_mt1020(payload)
+    assert out.slot == eph.slot
+    assert out.freq_channel == eph.freq_channel
+    assert out.tb_s == eph.tb_s and out.tk_s == eph.tk_s
+    assert abs(out.x_km - eph.x_km) < 2**-11
+    assert abs(out.vy_kms - eph.vy_kms) < 2**-20
+    assert abs(out.gamma_n - eph.gamma_n) < 2**-40
+    assert abs(out.tau_n_s - eph.tau_n_s) < 2**-30
+    assert out.nt_days == eph.nt_days
+
+
+def test_mt1002_roundtrip():
+    obs = [rtcm.RtcmObs(prn=p, pseudorange_m=2.1e7 + p * 1e4,
+                        carrier_phase_cycles=(2.1e7 + p * 1e4) / 0.1903,
+                        lock_time_s=30.0, cn0_dbhz=44.5)
+           for p in (3, 14, 22)]
+    f = rtcm.encode_mt1002(55, 345600.123, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1002
+    d = rtcm.decode_mt1002(payload)
+    assert d["station_id"] == 55
+    assert abs(d["tow_s"] - 345600.123) < 1e-3
+    assert [o["prn"] for o in d["observations"]] == [3, 14, 22]
+    for o, ob in zip(d["observations"], obs):
+        assert abs(o["pseudorange_m"] - ob.pseudorange_m) < 0.02
+        assert abs(o["cn0_dbhz"] - ob.cn0_dbhz) < 0.25
+
+
+@pytest.mark.parametrize("msm", [4, 7])
+@pytest.mark.parametrize("system,signals", [
+    ("GPS", ["1C", "2S"]), ("Galileo", ["1B", "5X"]),
+    ("GLONASS", ["1G"]), ("BeiDou", ["B1"]),
+])
+def test_msm_roundtrip(msm, system, signals):
+    obs = []
+    for k, sat in enumerate((4, 9, 23)):
+        for sig in signals:
+            pr = 2.3e7 + sat * 3333.0 + (100.0 if sig != signals[0] else 0)
+            obs.append(rtcm.MsmObs(
+                sat=sat, signal=sig, pseudorange_m=pr,
+                phase_range_m=pr + 0.7 + 0.01 * k,
+                phase_rate_ms=-411.25 + 13 * k,
+                lock_time_s=120.0, cn0_dbhz=41.0 + k))
+    f = rtcm.encode_msm(system, msm, 99, 345600123, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == rtcm.MSM_BASE[system] + msm
+    d = rtcm.decode_msm(payload)
+    assert d["system"] == system
+    assert d["epoch_ms"] == 345600123
+    got = {(o["sat"], o["signal"]): o for o in d["observations"]}
+    assert len(got) == len(obs)
+    pr_tol = 0.3 if msm == 4 else 0.01   # DF400 LSB ~ 0.018 m vs DF405
+    ph_tol = 0.01 if msm == 4 else 0.001
+    for ob in obs:
+        o = got[(ob.sat, ob.signal)]
+        assert abs(o["pseudorange_m"] - ob.pseudorange_m) < pr_tol
+        assert abs(o["phase_range_m"] - ob.phase_range_m) < ph_tol
+        if msm == 7:
+            assert abs(o["phase_rate_ms"] - ob.phase_rate_ms) < 1e-3
+            assert abs(o["cn0_dbhz"] - ob.cn0_dbhz) < 0.0625
+        else:
+            assert abs(o["cn0_dbhz"] - ob.cn0_dbhz) <= 0.5
+
+
+def test_iter_frames_stream():
+    eph = _gps_eph()
+    stream = (b"\x00garbage" + rtcm.encode_mt1019(eph)
+              + b"\xd3junk" + rtcm.encode_mt1005(9, (1e6, 2e6, 3e6)))
+    msgs = list(rtcm.iter_frames(stream))
+    nums = [m for m, _ in msgs]
+    assert 1019 in nums and 1005 in nums
+
+
+def test_tcp_server_broadcast():
+    srv = rtcm.RtcmTcpServer(port=0)
+    srv.start()
+    try:
+        cli = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
+        time.sleep(0.3)  # let the accept loop register the client
+        f = rtcm.encode_mt1005(1, (1.0, 2.0, 3.0))
+        srv.broadcast(f)
+        cli.settimeout(2)
+        got = b""
+        while len(got) < len(f):
+            got += cli.recv(4096)
+        assert got == f
+        cli.close()
+    finally:
+        srv.stop()

@@ -137,8 +137,7 @@ def main(argv=None) -> int:
         # (rtcm_printer.cc Print_Rtcm_MSM / Print_Rtcm_MT1019)
         from .pvt import rtcm as rtcm_mod
         system = rtcm_mod.SYSTEM_OF_SIGNAL.get(rcfg.signal_id, "GPS")
-        lam = (299792458.0 / rcfg.signal.carrier_freq_hz
-               if hasattr(rcfg, "signal") else 0.1903)
+        lam = 299792458.0 / rcfg.spec.carrier_freq_hz
         frames = [rtcm_mod.encode_mt1005(
             1234, sols[-1].rx_ecef_m,
             gps=system == "GPS", glonass=system == "GLONASS",
@@ -152,11 +151,15 @@ def main(argv=None) -> int:
                 pseudorange_m=o.pseudorange_m,
                 phase_range_m=o.carrier_phase_cycles * lam,
                 phase_rate_ms=-o.doppler_hz * lam,
-                lock_time_s=tow - t_first, cn0_dbhz=o.cn0_dbhz)
+                lock_time_s=tow - t_first, cn0_dbhz=o.cn0_dbhz,
+                wavelength_m=lam)
                 for p, o in obs.items()]
             if msm_obs:
+                tow_ms = int(tow * 1e3) % 604800000
+                epoch = (rtcm_mod.glonass_msm_epoch(tow_ms)
+                         if system == "GLONASS" else tow_ms)
                 frames.append(rtcm_mod.encode_msm(
-                    system, 7, 1234, int(tow * 1e3) % 604800000, msm_obs))
+                    system, 7, 1234, epoch, msm_obs))
         (out / "observables.rtcm").write_bytes(b"".join(frames))
         print(f"Outputs written to {out}/")
     else:

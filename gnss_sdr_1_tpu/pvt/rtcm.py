@@ -24,6 +24,7 @@ Framing (rtcm.cc add_CRC / build_message): preamble 0xD3, 6 reserved bits,
 from __future__ import annotations
 
 import dataclasses
+import math
 import socket
 import threading
 
@@ -232,8 +233,10 @@ def encode_mt1002(station_id: int, tow_s: float,
         mod = ob.pseudorange_m - amb * _MS_RANGE
         phase_m = ob.carrier_phase_cycles * ob.wavelength_m
         diff = phase_m - ob.pseudorange_m
-        # DF012 L1 phaserange - pseudorange, +-292 m wrap
-        diff = (diff + 292.7) % 585.4 - 292.7
+        # DF012 L1 phaserange - pseudorange: the 20-bit field at 0.0005 m
+        # spans +-262.144 m, so wrap at the field span (not the RTCM prose
+        # +-292.7 m figure) to avoid silent two's-complement aliasing
+        diff = (diff + 262.144) % 524.288 - 262.144
         w.u(6, ob.prn)
         w.u(1, 0)                   # code indicator: C/A
         w.u(24, _round(mod / 0.02))
@@ -532,6 +535,35 @@ class MsmObs:
     phase_rate_ms: float = 0.0  # phase range rate [m/s] (MSM7 only)
     lock_time_s: float = 0.0
     cn0_dbhz: float = 0.0
+    wavelength_m: float = 0.0   # enables integer-cycle alignment (DF401/406)
+
+
+# MSM fine-field invalid sentinels and metre spans (DF400/401/405/406).
+# The fine phase span is 2**-8 ms of range (= 1171.3 m, the reference's
+# literal 1171.0 gate in set_DF401/set_DF406); fine pseudorange spans
+# 2**-10 ms (= 292.7 m).
+_MSM_PHASE_SPAN_M = 1171.0
+_MSM_PR_SPAN_M = 292.7
+_SENT_FINE_PR = {4: -16384, 7: -524288}        # DF400 / DF405
+_SENT_FINE_PHASE = {4: -2097152, 7: -8388608}  # DF401 / DF406
+
+
+def _df402_msm_lock(lock_s: float) -> int:
+    """DF402 4-bit MSM lock-time indicator, RTCM Table 3.5-74
+    (rtcm.cc msm_lock_time_indicator): 0 below 32 s, then one step per
+    power-of-two doubling up to >=524288 s -> 15."""
+    if lock_s < 32.0:
+        return 0
+    return min(int(math.floor(math.log2(lock_s))) - 4, 15)
+
+
+def glonass_msm_epoch(gps_tow_ms: int, leap_s: int = 18) -> int:
+    """GLONASS MSM epoch: DF416 (3-bit day of week) + DF034 (27-bit ms of
+    GLONASS day), packed into the header's 30-bit epoch field (rtcm.cc
+    set_DF034/set_DF416).  GLONASS time = UTC(SU) + 3 h = GPS - leap + 3 h."""
+    t = (int(gps_tow_ms) - leap_s * 1000 + 3 * 3600 * 1000) % 604800000
+    dow, tod = divmod(t, 86400000)
+    return (int(dow) << 27) | int(tod)
 
 
 def _df407_lock(lock_s: float) -> int:
@@ -601,17 +633,30 @@ def encode_msm(system: str, msm: int, station_id: int, epoch_ms: int,
     present = [cell[c] for c in cells if c in cell]
     for ob in present:
         base = (rough[ob.sat][0] + rough[ob.sat][1] / 1024) * _MS_RANGE
-        fine = (ob.pseudorange_m - base) / _MS_RANGE
-        w.s(15 if msm == 4 else 20, _round(fine / (2**-24 if msm == 4
-                                                   else 2**-29)))
+        fine_m = ob.pseudorange_m - base
+        if abs(fine_m) > _MSM_PR_SPAN_M:
+            raw = _SENT_FINE_PR[msm]
+        else:
+            raw = _round(fine_m / _MS_RANGE / (2**-24 if msm == 4
+                                               else 2**-29))
+        w.s(15 if msm == 4 else 20, raw)
     for ob in present:
         base = (rough[ob.sat][0] + rough[ob.sat][1] / 1024) * _MS_RANGE
-        fine = (ob.phase_range_m - base) / _MS_RANGE
-        w.s(22 if msm == 4 else 24, _round(fine / (2**-29 if msm == 4
-                                                   else 2**-31)))
+        fine_m = ob.phase_range_m - base
+        # integer-cycle alignment: the receiver's accumulated carrier phase
+        # starts at an arbitrary count, so remove whole cycles to bring the
+        # fine phaserange inside the field span (rtcm.cc set_DF401/set_DF406)
+        if ob.wavelength_m > 0.0 and abs(fine_m) > _MSM_PHASE_SPAN_M:
+            fine_m -= round(fine_m / ob.wavelength_m) * ob.wavelength_m
+        if abs(fine_m) > _MSM_PHASE_SPAN_M:
+            raw = _SENT_FINE_PHASE[msm]
+        else:
+            raw = _round(fine_m / _MS_RANGE / (2**-29 if msm == 4
+                                               else 2**-31))
+        w.s(22 if msm == 4 else 24, raw)
     for ob in present:
         if msm == 4:
-            w.u(4, min(_df402_lock(ob.lock_time_s), 15))
+            w.u(4, _df402_msm_lock(ob.lock_time_s))
         else:
             w.u(10, min(_df407_lock(ob.lock_time_s), 1023))
     for ob in present:
@@ -636,6 +681,10 @@ def decode_msm(payload: bytes) -> dict:
     system = _SYS_BY_BASE[base]
     out = {"msgnum": msgnum, "system": system, "station_id": r.u(12),
            "epoch_ms": r.u(30)}
+    if system == "GLONASS":
+        # DF416 day of week (3 bits) + DF034 ms of GLONASS day (27 bits)
+        out["glonass_dow"] = out["epoch_ms"] >> 27
+        out["glonass_tod_ms"] = out["epoch_ms"] & ((1 << 27) - 1)
     r.u(1); r.u(3); r.u(7); r.u(8)
     sats = [i for i in range(1, 65) if r.u(1)]
     sigs = [i for i in range(1, 33) if r.u(1)]
@@ -653,10 +702,12 @@ def decode_msm(payload: bytes) -> dict:
 
     present = [c for c, m in zip(cells, mask) if m]
     n = len(present)
-    fine_pr = [r.s(15 if msm == 4 else 20) * (2**-24 if msm == 4 else 2**-29)
-               for _ in range(n)]
-    fine_ph = [r.s(22 if msm == 4 else 24) * (2**-29 if msm == 4 else 2**-31)
-               for _ in range(n)]
+    raw_pr = [r.s(15 if msm == 4 else 20) for _ in range(n)]
+    raw_ph = [r.s(22 if msm == 4 else 24) for _ in range(n)]
+    fine_pr = [None if v == _SENT_FINE_PR[msm]
+               else v * (2**-24 if msm == 4 else 2**-29) for v in raw_pr]
+    fine_ph = [None if v == _SENT_FINE_PHASE[msm]
+               else v * (2**-29 if msm == 4 else 2**-31) for v in raw_ph]
     locks = [r.u(4 if msm == 4 else 10) for _ in range(n)]
     halfs = [r.u(1) for _ in range(n)]
     cn0s = [r.u(6) * 1.0 if msm == 4 else r.u(10) * 0.0625 for _ in range(n)]
@@ -668,8 +719,10 @@ def decode_msm(payload: bytes) -> dict:
         base_m = (rough_int[s] + rough_mod[s] / 1024) * _MS_RANGE
         obs.append({
             "sat": s, "signal": sig_name.get(g, str(g)),
-            "pseudorange_m": base_m + fine_pr[k] * _MS_RANGE,
-            "phase_range_m": base_m + fine_ph[k] * _MS_RANGE,
+            "pseudorange_m": (base_m + fine_pr[k] * _MS_RANGE)
+            if fine_pr[k] is not None else None,
+            "phase_range_m": (base_m + fine_ph[k] * _MS_RANGE)
+            if fine_ph[k] is not None else None,
             "lock": locks[k], "half_cycle": halfs[k],
             "cn0_dbhz": cn0s[k],
             "phase_rate_ms": (rough_rate.get(s, 0) + rates[k])

@@ -194,3 +194,68 @@ def test_tcp_server_broadcast():
         cli.close()
     finally:
         srv.stop()
+
+
+def test_msm_phase_integer_cycle_alignment():
+    """An accumulated carrier phase with an arbitrary origin (e.g. starting
+    at 0 cycles while the pseudorange is ~21000 km) must be aligned to the
+    rough range by removing integer cycles (rtcm.cc set_DF406), not silently
+    masked into the 24-bit field."""
+    lam = 299792458.0 / 1575.42e6
+    pr = 21_123_456.789
+    # receiver-style phase: starts near zero, so phase_range_m ~ -67 ms off
+    phase_cycles = 1234.5
+    ob = rtcm.MsmObs(sat=7, signal="1C", pseudorange_m=pr,
+                     phase_range_m=phase_cycles * lam,
+                     lock_time_s=10.0, cn0_dbhz=45.0, wavelength_m=lam)
+    frame = rtcm.encode_msm("GPS", 7, 99, 123456, [ob])
+    _, payload = next(rtcm.iter_frames(frame))
+    d = rtcm.decode_msm(payload)
+    o = d["observations"][0]
+    # decoded phase differs from the true accumulated phase by an integer
+    # number of cycles and sits within the field span of the pseudorange
+    assert o["phase_range_m"] is not None
+    diff_cycles = (o["phase_range_m"] - phase_cycles * lam) / lam
+    assert abs(diff_cycles - round(diff_cycles)) < 1e-3
+    assert abs(o["phase_range_m"] - pr) < 1171.0
+
+
+def test_msm_phase_invalid_sentinel():
+    """Out-of-span fine phase without a wavelength encodes the RTCM invalid
+    sentinel and decodes to None."""
+    pr = 21_123_456.789
+    for msm in (4, 7):
+        ob = rtcm.MsmObs(sat=7, signal="1C", pseudorange_m=pr,
+                         phase_range_m=pr + 5000.0, cn0_dbhz=40.0)
+        frame = rtcm.encode_msm("GPS", msm, 99, 1000, [ob])
+        _, payload = next(rtcm.iter_frames(frame))
+        o = rtcm.decode_msm(payload)["observations"][0]
+        assert o["phase_range_m"] is None
+        assert o["pseudorange_m"] is not None
+
+
+def test_df402_msm_lock_table():
+    """DF402 follows RTCM Table 3.5-74 (power-of-two seconds), not the
+    legacy 7-bit DF013 mapping."""
+    assert rtcm._df402_msm_lock(0.0) == 0
+    assert rtcm._df402_msm_lock(31.9) == 0
+    assert rtcm._df402_msm_lock(32.0) == 1
+    assert rtcm._df402_msm_lock(120.0) == 2
+    assert rtcm._df402_msm_lock(600.0) == 5
+    assert rtcm._df402_msm_lock(1e9) == 15
+
+
+def test_glonass_msm_epoch_fields():
+    """GLONASS MSM epoch = DF416 day-of-week (3 bits) + DF034 ms-of-day
+    (27 bits), derived from GLONASS time = UTC(SU) + 3 h."""
+    tow_ms = 2 * 86400000 + 5 * 3600000   # GPS Tuesday 05:00
+    epoch = rtcm.glonass_msm_epoch(tow_ms, leap_s=18)
+    dow, tod = epoch >> 27, epoch & ((1 << 27) - 1)
+    glo_ms = tow_ms - 18000 + 3 * 3600000
+    assert dow == glo_ms // 86400000
+    assert tod == glo_ms % 86400000
+    ob = rtcm.MsmObs(sat=3, signal="1G", pseudorange_m=20e6, cn0_dbhz=40.0)
+    frame = rtcm.encode_msm("GLONASS", 4, 5, epoch, [ob])
+    _, payload = next(rtcm.iter_frames(frame))
+    d = rtcm.decode_msm(payload)
+    assert d["glonass_dow"] == dow and d["glonass_tod_ms"] == tod

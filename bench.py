@@ -132,12 +132,37 @@ def run_bench() -> dict:
     expected_epochs = (signal_s / 1e-3) * N_CH
     assert n_valid > 0.85 * expected_epochs
 
+    # --- acquisition rate (BASELINE.md primary rate: acquisition FFTs/s;
+    # the reference accounting is 2 FFT executions per Doppler bin per
+    # dwell, pcps_acquisition.cc:712-745) ---
+    from gnss_sdr_1_tpu.acquire import AcqConfig, PcpsAcquisition
+
+    acq = PcpsAcquisition(
+        AcqConfig(fs_hz=FS, samples_per_code=int(round(FS * 1e-3)),
+                  samples_per_chip=4, doppler_max_hz=5000.0,
+                  doppler_step_hz=250.0, max_dwells=2,
+                  make_two_steps=False),
+        {p: codes[p] for p in prns},
+        fs_code_rate=(1.023e6, 1023),
+    )
+    acq_samples = x[: acq.cfg.fft_size * 2]
+    acq.acquire(acq_samples)                      # warmup/compile
+    n_acq = 5
+    t0 = time.time()
+    for _ in range(n_acq):
+        acq.acquire(acq_samples)
+    acq_wall = (time.time() - t0) / n_acq
+    ffts_per_call = len(prns) * acq.cfg.num_doppler_bins * 2 * 2
+    acq_ffts_per_s = ffts_per_call / acq_wall
+
     return {
         "metric": f"real_time_factor_{N_CH}ch_gps_l1_tracking_{dev}",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf, 2),
         "channel_samples_per_s": round(samples_per_s),
+        "acq_ffts_per_s": round(acq_ffts_per_s),
+        "acq_fft_size": acq.cfg.fft_size,
         "platform": dev,
     }
 

@@ -49,12 +49,15 @@ def main(argv=None) -> int:
 
     from .io import FileSignalSource
     from .runtime import Receiver, ReceiverConfig
-    from .runtime.config import FileConfiguration, to_receiver_config
+    from .runtime.config import (FileConfiguration, build_frontend,
+                                 to_receiver_config)
     from .pvt import printers
 
+    frontend = None
     if args.config_file:
         conf = FileConfiguration(args.config_file)
         rcfg = to_receiver_config(conf)
+        frontend = build_frontend(conf)
         signal_file = args.signal_file or conf.property(
             "SignalSource.filename", "")
         item_type = args.item_type or conf.property(
@@ -81,14 +84,23 @@ def main(argv=None) -> int:
                  f"{sorted(FORMATS)}")
     if not pathlib.Path(signal_file).exists():
         ap.error(f"signal file not found: {signal_file}")
-    max_samples = int(args.max_s * rcfg.fs_hz) if args.max_s else None
+    # the SignalConditioner chain runs at the SOURCE rate
+    # (signal_conditioner.cc; wiring gnss_block_factory.cc:234-252)
+    source_fs = frontend.source_fs_hz if frontend else rcfg.fs_hz
+    max_samples = int(args.max_s * source_fs) if args.max_s else None
     src = FileSignalSource(signal_file, item_type=item_type,
-                           sampling_frequency=rcfg.fs_hz,
+                           sampling_frequency=source_fs,
                            max_samples=max_samples)
     print(f"Processing {src.n_samples} samples "
-          f"({src.n_samples / rcfg.fs_hz:.1f} s) of {signal_file} "
+          f"({src.n_samples / source_fs:.1f} s) of {signal_file} "
           f"[{item_type}] with {rcfg.n_channels} {rcfg.signal_id} channels")
     samples = src.read(0, src.n_samples)
+    if frontend is not None and not frontend.is_passthrough:
+        print(f"Conditioning: fs {frontend.source_fs_hz:.0f} -> "
+              f"{frontend.internal_fs_hz:.0f} Hz, IF {frontend.if_freq_hz:.0f}"
+              f" Hz, filter {frontend.filter_impl}, "
+              f"resampler {frontend.resampler_impl}")
+        samples = frontend.process(samples)
 
     rx = Receiver(rcfg)
     t0 = time.time()

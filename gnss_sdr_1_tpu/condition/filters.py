@@ -36,6 +36,20 @@ def direct_resample(x: np.ndarray, fs_in: float, fs_out: float) -> np.ndarray:
     return x[idx]
 
 
+def fractional_resample(x: np.ndarray, fs_in: float, fs_out: float) -> np.ndarray:
+    """Fractional (interpolating) rate conversion — the Mmse_Resampler /
+    Fractional_Resampler role (mmse_resampler_conditioner.cc).  The
+    reference uses the GNU Radio 8-tap MMSE interpolator bank; linear
+    interpolation gives the same sub-sample timing continuity (the receiver
+    only needs phase-continuous resampling; droop at band edge is absorbed
+    by the correlators) with a TPU/NumPy-trivial kernel."""
+    n_out = int(np.floor((len(x) - 1) * fs_out / fs_in))
+    pos = np.arange(n_out, dtype=np.float64) * (fs_in / fs_out)
+    i0 = np.floor(pos).astype(np.int64)
+    frac = (pos - i0).astype(np.float32)
+    return (x[i0] * (1.0 - frac) + x[i0 + 1] * frac).astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("decim", "n_taps"))
 def _freq_xlating_block(
     x_p: jax.Array,        # [N + n_taps - 1, 2] planar input incl. history head

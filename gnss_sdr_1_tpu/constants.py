@@ -18,6 +18,9 @@ GPS_OMEGA_EARTH_DOT = 7.2921151467e-5  # WGS-84 Earth rotation rate [rad/s]
 GPS_F_RELATIVISTIC = -4.442807633e-10  # s/sqrt(m), clock relativistic term
 GALILEO_GM = 3.986004418e14
 GALILEO_OMEGA_EARTH_DOT = 7.2921151467e-5
+BDS_GM = 3.986004418e14        # CGCS2000 (Beidou_DNAV.h GM)
+BDS_OMEGA_EARTH_DOT = 7.2921150e-5     # CGCS2000 earth rotation rate
+BDS_GPS_TIME_OFFSET_S = 14.0   # BDT = GPST - 14 s (BDS ICD 3.0 sec 3.2)
 GPS_PI = 3.1415926535898       # ICD value of pi used in ephemeris math
 
 # Start offset added to RX time when forming pseudoranges

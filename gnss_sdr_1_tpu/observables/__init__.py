@@ -29,7 +29,10 @@ class ChannelEpochHistory:
     max_len: int = 512
 
     def __post_init__(self) -> None:
-        self.start_samples: list[int] = []   # absolute sample of epoch start
+        # absolute sample of the code-period boundary (float: integer epoch
+        # start + fractional rem_code_phase — sub-sample pseudorange
+        # resolution, one sample would be 73 m at 4 Msps)
+        self.start_samples: list[float] = []
         self.tow_s: list[float] = []         # transmit TOW at epoch start
         self.doppler_hz: list[float] = []
         self.carrier_phase_rad: list[float] = []  # accumulated (host f64)
@@ -37,7 +40,7 @@ class ChannelEpochHistory:
 
     def push(self, start_sample, tow_s, doppler_hz, carrier_phase_rad=0.0,
              cn0_dbhz=0.0):
-        self.start_samples.append(int(start_sample))
+        self.start_samples.append(float(start_sample))
         self.tow_s.append(float(tow_s))
         self.doppler_hz.append(float(doppler_hz))
         self.carrier_phase_rad.append(float(carrier_phase_rad))

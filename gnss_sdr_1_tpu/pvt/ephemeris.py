@@ -10,8 +10,20 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import GPS_GM, GPS_OMEGA_EARTH_DOT, GPS_PI, GPS_F_RELATIVISTIC, GPS_WEEK_SECONDS
+from ..constants import (BDS_GM, BDS_OMEGA_EARTH_DOT, GPS_GM,
+                         GPS_OMEGA_EARTH_DOT, GPS_PI, GPS_F_RELATIVISTIC,
+                         GPS_WEEK_SECONDS)
 from ..telemetry.lnav import GpsEphemeris
+
+
+def _gm_omega(eph) -> tuple[float, float]:
+    """Constellation constants: CGCS2000 for BeiDou ephemerides
+    (system='C'), WGS-84 values otherwise (Galileo's GM differs from GPS by
+    only 1.5e-7 relative; the reference's eph2pos also uses one MU per
+    GPS/GAL and a BDS-specific pair)."""
+    if getattr(eph, "system", "G") == "C":
+        return BDS_GM, BDS_OMEGA_EARTH_DOT
+    return GPS_GM, GPS_OMEGA_EARTH_DOT
 
 
 def _time_diff(t: float, t_ref: float) -> float:
@@ -37,8 +49,9 @@ def satellite_clock_correction(eph: GpsEphemeris, t_tx: float) -> float:
 
 def _anomalies(eph: GpsEphemeris, t: float) -> tuple[float, float, float]:
     """(mean anomaly, true anomaly, eccentric anomaly) at TOW t [rad]."""
+    gm, _ = _gm_omega(eph)
     a = eph.sqrt_a**2
-    n0 = np.sqrt(GPS_GM / a**3)
+    n0 = np.sqrt(gm / a**3)
     tk = _time_diff(t, eph.toe)
     n = n0 + eph.delta_n * GPS_PI
     m = eph.m0 * GPS_PI + n * tk
@@ -57,6 +70,7 @@ def satellite_position_velocity(
     eph: GpsEphemeris, t_tx: float
 ) -> tuple[np.ndarray, np.ndarray]:
     """ECEF position [m] and velocity [m/s] at transmit time t_tx (TOW, s)."""
+    gm, omega_e = _gm_omega(eph)
     a = eph.sqrt_a**2
     tk = _time_diff(t_tx, eph.toe)
     _, nu, e_k = _anomalies(eph, t_tx)
@@ -75,8 +89,8 @@ def satellite_position_velocity(
 
     omega_k = (
         eph.omega0 * GPS_PI
-        + (eph.omega_dot * GPS_PI - GPS_OMEGA_EARTH_DOT) * tk
-        - GPS_OMEGA_EARTH_DOT * eph.toe
+        + (eph.omega_dot * GPS_PI - omega_e) * tk
+        - omega_e * eph.toe
     )
     co, so = np.cos(omega_k), np.sin(omega_k)
     ci, si = np.cos(i), np.sin(i)
@@ -88,7 +102,7 @@ def satellite_position_velocity(
 
     # velocity by analytic differentiation (as rtklib eph2pos's numerical
     # twin; analytic form per Remondi)
-    n = np.sqrt(GPS_GM / a**3) + eph.delta_n * GPS_PI
+    n = np.sqrt(gm / a**3) + eph.delta_n * GPS_PI
     e_dot = n / (1.0 - eph.e * np.cos(e_k))
     nu_dot = e_dot * np.sqrt(1.0 - eph.e**2) / (1.0 - eph.e * np.cos(e_k))
     u_dot = nu_dot * (1.0 + 2.0 * (eph.cus * np.cos(2 * phi) - eph.cuc * np.sin(2 * phi)))
@@ -98,7 +112,7 @@ def satellite_position_velocity(
     i_dot = eph.idot * GPS_PI + 2.0 * nu_dot * (
         eph.cis * np.cos(2 * phi) - eph.cic * np.sin(2 * phi)
     )
-    omega_k_dot = eph.omega_dot * GPS_PI - GPS_OMEGA_EARTH_DOT
+    omega_k_dot = eph.omega_dot * GPS_PI - omega_e
 
     x_orb_dot = r_dot * np.cos(u) - r * np.sin(u) * u_dot
     y_orb_dot = r_dot * np.sin(u) + r * np.cos(u) * u_dot

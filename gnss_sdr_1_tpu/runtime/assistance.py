@@ -65,6 +65,8 @@ def predict_visible(
     out: dict[int, dict] = {}
     for prn, eph in ephemerides.items():
         pos, vel = satellite_position_velocity(eph, tow_s)
+        if not np.all(np.isfinite(pos)):
+            continue
         az, el = az_el(rx_ecef, pos)
         if np.degrees(el) < min_elevation_deg:
             continue
@@ -78,3 +80,20 @@ def predict_visible(
             "doppler_hz": doppler,
         }
     return out
+
+
+def predict_visible_from_almanac(
+    almanacs: dict[int, "GpsAlmanac"],
+    rx_ecef: np.ndarray,
+    tow_s: float,
+    week: int = 0,
+    **kwargs,
+) -> dict[int, dict]:
+    """Warm-start visible-sat prediction from BROADCAST almanac alone
+    (subframe 4/5 pages collected by LnavDecoder.almanacs) — the
+    control_thread.cc:890 get_visible_sats path that works without full
+    ephemerides."""
+    from ..telemetry.lnav import GpsAlmanac  # noqa: F401 (type only)
+
+    ephs = {p: a.to_ephemeris(week) for p, a in almanacs.items()}
+    return predict_visible(ephs, rx_ecef, tow_s, **kwargs)

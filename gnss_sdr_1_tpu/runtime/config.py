@@ -5,10 +5,16 @@ INIReader, section-less keys like `Acquisition_1C.doppler_max=5000`) and
 InMemoryConfiguration (the universal test mock) —
 src/core/receiver/file_configuration.{h,cc}, in_memory_configuration.{h,cc}.
 Reference .conf files parse unchanged; `to_receiver_config` maps the
-reference property names onto ReceiverConfig.
+reference property names onto ReceiverConfig, and `build_frontend` realizes
+the SignalConditioner chain (DataTypeAdapter -> InputFilter -> Resampler,
+signal_conditioner.cc + factory wiring gnss_block_factory.cc:234-252) so a
+conf whose SignalSource.sampling_frequency != GNSS-SDR.internal_fs_sps or
+whose InputFilter mixes an IF runs correctly end-to-end.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 from .receiver import ReceiverConfig
 
@@ -80,6 +86,78 @@ def _signal_from_impl(impl: str) -> str | None:
     return None
 
 
+@dataclasses.dataclass
+class FrontEnd:
+    """The realized SignalConditioner chain: complex64 samples at the
+    source rate in, complex64 at the internal rate (baseband) out."""
+
+    source_fs_hz: float
+    internal_fs_hz: float
+    if_freq_hz: float = 0.0
+    filter_impl: str = "Pass_Through"
+    resampler_impl: str = "Pass_Through"
+    n_taps: int = 65
+
+    def process(self, x):
+        import numpy as np
+
+        from ..condition.filters import (
+            Conditioner, design_lowpass_fir, direct_resample,
+            fractional_resample)
+
+        fs_in, fs_out = self.source_fs_hz, self.internal_fs_hz
+        x = np.asarray(x, dtype=np.complex64)
+        needs_filter = (self.if_freq_hz != 0.0
+                        or self.filter_impl in ("Fir_Filter",
+                                                "Freq_Xlating_Fir_Filter"))
+        if needs_filter:
+            ratio = fs_in / fs_out
+            decim = int(round(ratio)) if abs(
+                ratio - round(ratio)) < 1e-9 and ratio >= 1.0 else 1
+            cutoff = 0.45 * min(fs_in / max(decim, 1), fs_out)
+            taps = design_lowpass_fir(self.n_taps, cutoff, fs_in)
+            cond = Conditioner(taps, fs_in, self.if_freq_hz, decim)
+            x = cond.process(x, flush=True)
+            fs_in = fs_in / decim
+        if abs(fs_in - fs_out) > 1e-6:
+            if self.resampler_impl in ("Fractional_Resampler",
+                                       "Mmse_Resampler"):
+                x = fractional_resample(x, fs_in, fs_out)
+            else:
+                x = direct_resample(x, fs_in, fs_out)
+        return x
+
+    @property
+    def is_passthrough(self) -> bool:
+        return (self.if_freq_hz == 0.0
+                and abs(self.source_fs_hz - self.internal_fs_hz) < 1e-6
+                and self.filter_impl not in ("Fir_Filter",
+                                             "Freq_Xlating_Fir_Filter"))
+
+
+def build_frontend(conf: InMemoryConfiguration) -> FrontEnd:
+    """Realize SignalConditioner/DataTypeAdapter/InputFilter/Resampler conf
+    keys (conf/gnss-sdr_GPS_L1_ishort.conf conventions) as a FrontEnd."""
+    internal = float(conf.property(
+        "GNSS-SDR.internal_fs_sps",
+        conf.property("GNSS-SDR.internal_fs_hz", 4_000_000.0)))
+    source = float(conf.property("SignalSource.sampling_frequency", internal))
+    # the reference's xlating filter reads InputFilter.IF; some confs name
+    # it SignalSource.freq_IF
+    if_freq = float(conf.property(
+        "InputFilter.IF", conf.property("SignalSource.freq_IF", 0.0)))
+    return FrontEnd(
+        source_fs_hz=source,
+        internal_fs_hz=internal,
+        if_freq_hz=if_freq,
+        filter_impl=str(conf.property("InputFilter.implementation",
+                                      "Pass_Through")),
+        resampler_impl=str(conf.property("Resampler.implementation",
+                                         "Pass_Through")),
+        n_taps=int(conf.property("InputFilter.number_of_taps", 65)),
+    )
+
+
 def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
     """Map reference property names (conf/gnss-sdr_GPS_L1_ishort.conf
     conventions) onto a ReceiverConfig."""
@@ -88,8 +166,14 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
     acq_impl = conf.property("Acquisition_1C.implementation", "")
     signal_id = _signal_from_impl(acq_impl) or "1C"
     sig = f"_{signal_id}"
-    n_channels = conf.property(f"Channels{sig}.count",
-                               conf.property("Channels.count", 8))
+    n_channels = int(conf.property(f"Channels{sig}.count",
+                                   conf.property("Channels.count", 8)))
+    # per-channel satellite pinning (ChannelN.satellite, read by the
+    # flowgraph at gnss_flowgraph.cc:1076-1090)
+    pins = tuple(
+        int(conf.property(f"Channel{ch}.satellite", 0)) or None
+        for ch in range(n_channels)
+    )
     return ReceiverConfig(
         fs_hz=float(fs),
         signal_id=signal_id,
@@ -104,7 +188,17 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
             "Tong_Acquisition"),
         pll_bw_hz=float(conf.property(f"Tracking{sig}.pll_bw_hz", 25.0)),
         dll_bw_hz=float(conf.property(f"Tracking{sig}.dll_bw_hz", 2.0)),
+        pll_bw_narrow_hz=float(
+            conf.property(f"Tracking{sig}.pll_bw_narrow_hz", 12.0)),
+        dll_bw_narrow_hz=float(
+            conf.property(f"Tracking{sig}.dll_bw_narrow_hz", 0.75)),
+        extend_correlation_symbols=int(conf.property(
+            f"Tracking{sig}.extend_correlation_symbols",
+            20 if signal_id == "1C" else 0)),
+        early_late_space_chips=float(conf.property(
+            f"Tracking{sig}.early_late_space_chips", 0.5)),
         enable_fll_pull_in=bool(conf.property(f"Tracking{sig}.enable_fll_pull_in", False)),
+        channel_satellites=pins,
         # PVT corrections: the reference's PVT.iono_model/trop_model
         # (rtklib_pvt.cc config keys; values Broadcast_Klobuchar/OFF and
         # Saastamoinen/OFF) and PVT.elevation_mask
@@ -113,4 +207,5 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
         trop_model=("saastamoinen" if str(conf.property(
             "PVT.trop_model", "OFF")).lower().startswith("saas") else "off"),
         elevation_mask_deg=float(conf.property("PVT.elevation_mask", 5.0)),
+        positioning_mode=str(conf.property("PVT.positioning_mode", "Single")),
     )

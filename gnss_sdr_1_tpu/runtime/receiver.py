@@ -47,11 +47,19 @@ class ReceiverConfig:
     # tracking
     pll_bw_hz: float = 25.0
     dll_bw_hz: float = 2.0
+    pll_bw_narrow_hz: float = 12.0
+    dll_bw_narrow_hz: float = 0.75
+    # states 3/4: coherent extension once telemetry reports bit sync
+    # (dll_pll_veml_tracking.cc:1774-1900); 0 disables the switch
+    extend_correlation_symbols: int = 20
     enable_fll_pull_in: bool = False
     pull_in_time_s: float = 0.3
     early_late_space_chips: float = 0.5
     very_early_late_space_chips: float = 0.6
     correlator: str = "gather"   # 'fft' = TPU fast path (see PERF.md)
+    # per-channel satellite pinning (ChannelN.satellite=PRN, read by the
+    # reference flowgraph at gnss_flowgraph.cc:1076-1090); None = dynamic
+    channel_satellites: tuple = ()
     # pipeline
     block_ms: int = 40
     obs_interval_ms: int = 20
@@ -64,6 +72,10 @@ class ReceiverConfig:
     #   PVT.trop_model=Saastamoinen)
     elevation_mask_deg: float = 5.0
     pvt_weighted: bool = True
+    # PVT.positioning_mode (pvt_conf): Single is the built-in chain;
+    # DGNSS/Static/Kinematic engage pvt.rtk.solve_baseline when base-station
+    # observables are supplied (CLI --base_obs / library use)
+    positioning_mode: str = "Single"
 
     @property
     def spec(self) -> SignalSpec:
@@ -113,6 +125,10 @@ class Receiver:
                 veml=is_veml,
                 pll_bw_hz=cfg.pll_bw_hz,
                 dll_bw_hz=cfg.dll_bw_hz,
+                pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
+                dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
+                extend_correlation_symbols=max(
+                    1, cfg.extend_correlation_symbols),
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 pull_in_time_s=cfg.pull_in_time_s,
                 correlator=cfg.correlator,
@@ -129,6 +145,7 @@ class Receiver:
         self.decoders: dict[int, LnavDecoder] = {}
         self.histories: dict[int, ChannelEpochHistory] = {}
         self.sym_count: dict[int, int] = {}
+        self.last_rem: dict[int, float] = {}
         self.carrier_phase_acc: dict[int, float] = {}
         self.rx_tow_s: float | None = None
         self.rx_tow_sample: int | None = None
@@ -154,6 +171,7 @@ class Receiver:
         else:
             res = self.acq.acquire(samples, samplestamp=samples_abs_offset)
         tracked = {p for p in self.channel_prn if p is not None}
+        pins = self.cfg.channel_satellites
         order = np.argsort(-res.test_stat)
         for k in order:
             prn = self.acq.prns[k]
@@ -161,7 +179,16 @@ class Receiver:
                 continue
             if not idle_channels:
                 break
-            ch = idle_channels.pop(0)
+            # pinned channels only accept their satellite, and get it
+            # preferentially (ChannelN.satellite, gnss_flowgraph.cc:1076-1090)
+            ch = next((c for c in idle_channels
+                       if c < len(pins) and pins[c] == prn), None)
+            if ch is None:
+                ch = next((c for c in idle_channels
+                           if c >= len(pins) or pins[c] is None), None)
+            if ch is None:
+                continue
+            idle_channels.remove(ch)
             self.channel_prn[ch] = prn
             self.state = self.trk.activate_channel(
                 self.state, ch, self._slot_of_prn[prn],
@@ -191,6 +218,10 @@ class Receiver:
                 self.decoders[prn] = BeidouChannelDecoder(prn)
             self.histories[prn] = ChannelEpochHistory()
             self.sym_count[prn] = 0
+            # fractional code phase at the channel's first epoch start
+            # (sub-sample pseudorange resolution in the observables)
+            self.last_rem[prn] = float(
+                np.asarray(self.state.rem_code_phase_samples)[ch])
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
                      ch, prn, res.delay_samples[k], res.doppler_hz[k],
                      res.test_stat[k])
@@ -219,6 +250,14 @@ class Receiver:
             prompts = corr[v, ch, p_idx]
             ep_starts = starts[v, ch] + block_offset_abs
             ep_dops = dops[v, ch]
+            # code-period boundary = integer start + fractional code phase
+            # AT that start (the device outputs rem at the NEXT start, so
+            # shift by one epoch, carrying across segments)
+            rems_next = np.asarray(outs.rem_code_phase_samples)[v, ch]
+            rems_at = np.concatenate(
+                [[self.last_rem.get(prn, 0.0)], rems_next[:-1]])
+            if len(rems_next):
+                self.last_rem[prn] = float(rems_next[-1])
             dec = self.decoders.get(prn)
             base_sym = self.sym_count[prn]
             # accumulated carrier phase integrates on host in float64
@@ -238,12 +277,34 @@ class Receiver:
                 for k in range(len(prompts)):
                     tow = dec.tow_at_symbol(base_sym + k)
                     if tow is not None:
-                        hist.push(int(ep_starts[k]), tow, float(ep_dops[k]),
+                        hist.push(float(ep_starts[k]) + float(rems_at[k]),
+                                  tow, float(ep_dops[k]),
                                   float(acc_series[k]), float(ep_cn0[k]))
             self.sym_count[prn] = base_sym + len(prompts)
             if not bool(active[-1, ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                 self.channel_prn[ch] = None
+
+    def _maybe_extend(self) -> None:
+        """State 2 -> 3/4 switch once telemetry reports bit sync: coherent
+        extension over extend_correlation_symbols epochs aligned to each
+        channel's bit grid, with the narrow loop bandwidths
+        (dll_pll_veml_tracking.cc:1774-1900)."""
+        n = self.cfg.extend_correlation_symbols
+        if n <= 1 or self.cfg.signal_id != "1C" or 20 % n != 0:
+            return
+        mode = np.asarray(self.state.mode)
+        for ch, prn in enumerate(self.channel_prn):
+            if prn is None or mode[ch] != 0:
+                continue
+            dec = self.decoders.get(prn)
+            bit0 = getattr(dec, "bit_offset", None)
+            if bit0 is None:
+                continue
+            e = (bit0 - self.sym_count[prn]) % 20
+            self.state = self.trk.enable_extended(self.state, ch, e)
+            log.info("ch %d PRN %d -> extended coherent (%d ms, boundary in "
+                     "%d epochs)", ch, prn, n, e)
 
     # ---------------- observables + PVT ----------------
 
@@ -330,6 +391,7 @@ class Receiver:
             seg_dev = jnp.asarray(to_planar(seg))
             self.state, outs = self.trk.track_capture(seg_dev, self.state, span)
             self._harvest(outs, self._pos)
+            self._maybe_extend()
             self._observables_and_pvt()
             self._pos += span
             self._blocks_done += n_blocks

@@ -86,6 +86,22 @@ def _gps_to_galileo(eph):
     )
 
 
+def _gps_to_beidou(eph):
+    """Map the scenario's Keplerian truth onto D1 broadcast fields
+    (system='C' selects the CGCS2000 constants in the propagator)."""
+    from ..telemetry.beidou_dnav import BeidouEphemeris
+
+    return BeidouEphemeris(
+        prn=eph.prn, week=eph.week, toc=eph.toc, toe=eph.toe,
+        af0=eph.af0, af1=eph.af1, af2=eph.af2, tgd=eph.tgd,
+        iodc=eph.iodc, iode=eph.iode,
+        sqrt_a=eph.sqrt_a, e=eph.e, m0=eph.m0, delta_n=eph.delta_n,
+        omega0=eph.omega0, i0=eph.i0, omega=eph.omega,
+        omega_dot=eph.omega_dot, idot=eph.idot,
+        cuc=eph.cuc, cus=eph.cus, crc=eph.crc, crs=eph.crs,
+        cic=eph.cic, cis=eph.cis)
+
+
 def _auto_place(rx_ecef: np.ndarray, prns: list[int], toe: float,
                 t0_tow: float) -> tuple[list[float], list[float]]:
     """Pick (raan, anomaly) per satellite so the constellation is spread in
@@ -149,7 +165,7 @@ def build_scenario(
     toe = np.floor(t0_tow / 7200.0) * 7200.0   # ephemeris reference nearby
     # bit stream starts at the last subframe/page boundary before the
     # earliest possible transmit time (t0 - 0.1 s)
-    boundary = 6.0 if signal == "1C" else 2.0
+    boundary = 6.0 if signal in ("1C", "B1") else 2.0
     bits_tow0 = np.floor((t0_tow - 0.1) / boundary) * boundary
 
     sats: list[SatParams] = []
@@ -163,16 +179,22 @@ def build_scenario(
         anom = anomalies[i]
         eph = make_test_ephemeris(prn, toe, plane_raan_deg=raan,
                                   anomaly_deg=anom, af0=2e-5 * ((i % 3) - 1))
+        if signal == "B1":
+            # the receiver propagates B1 ephemerides with CGCS2000
+            # constants; keep truth and broadcast on the same model
+            eph = _gps_to_beidou(eph)
         ephs[prn] = eph
-        # quadratic fit of observed delay over the run
-        ts = np.array([0.0, duration_s / 2.0, duration_s])
+        # cubic fit of observed delay over the run (the quadratic residual
+        # of a MEO pass over 24 s is meters; cubic leaves centimeters)
+        ts = np.linspace(0.0, duration_s, 5)
         taus = np.array([
             observed_delay_s(eph, rx_ecef, t0_tow + dt) for dt in ts
         ])
-        coef = np.polyfit(ts, taus, 2)          # tau(t) ~ c2 t^2 + c1 t + c0
-        tau0, tau_dot, tau_ddot2 = coef[2], coef[1], coef[0]
+        coef = np.polyfit(ts, taus, 3)     # tau(t) ~ c3 t^3 + ... + c0
+        tau0, tau_dot = coef[3], coef[2]
         doppler = -carrier_freq * tau_dot
-        doppler_rate = -carrier_freq * 2.0 * tau_ddot2
+        doppler_rate = -carrier_freq * 2.0 * coef[1]
+        doppler_rate2 = -carrier_freq * 6.0 * coef[0]
         # delay of the bit/code stream relative to the bits_tow0 origin:
         # stream time at rx t is (t0_tow + t - tau(t)) - bits_tow0, so the
         # generator's delay (stream starts at chips=0) is tau0 minus the
@@ -180,7 +202,22 @@ def build_scenario(
         stream_offset_s = t0_tow - bits_tow0
         delay_chips = (tau0 - stream_offset_s) * chip_rate
         # nav bits covering the run (+ margin)
-        if signal == "1B":
+        if signal == "B1":
+            # D1 NAV: 6 s subframes cycling 1,2,3 so the ephemeris
+            # completes in 18 s (fixture analogue of the GPS
+            # subframe_cycle); 50 bps bits, NH20 applied by the caller
+            from ..telemetry.beidou_dnav import (
+                d1_fields_for, encode_subframe_bits)
+
+            n_sf = int(np.ceil((duration_s + 2.0) / 6.0)) + 2
+            cyc = (1, 2, 3)
+            sfs = []
+            for k in range(n_sf):
+                fid = cyc[k % 3]
+                sfs.append(encode_subframe_bits(
+                    fid, bits_tow0 + 6.0 * k, d1_fields_for(eph, fid)))
+            bits01 = np.concatenate(sfs)
+        elif signal == "1B":
             # I/NAV pages (2 s each), word cycle 5,1,2,3,4 so ephemeris +
             # GST complete within 10 s; GST TOW = even-part start time
             from ..telemetry.inav import (
@@ -201,6 +238,7 @@ def build_scenario(
         nav_bits = (1.0 - 2.0 * bits01).astype(np.float64)
         sats.append(SatParams(
             prn=prn, doppler_hz=doppler, doppler_rate_hz_s=doppler_rate,
+            doppler_rate2_hz_s2=doppler_rate2,
             delay_chips=delay_chips, cn0_dbhz=cn0_dbhz,
             phase_rad=float(2.0 * np.pi * ((i * 0.37) % 1.0)),
             nav_bits=nav_bits,

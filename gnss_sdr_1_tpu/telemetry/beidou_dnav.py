@@ -1,17 +1,20 @@
 """BeiDou B1I/B3I D1 NAV message layer (BeiDou ICD v3.0, sec 5.2).
 
-Reference parity: beidou_b1i_telemetry_decoder_gs.cc +
-beidou_dnav_navigation_message.cc: D1 NAV at 50 bps (NH20-wiped by
-tracking), 300-bit subframes of ten 30-bit words protected by BCH(15,11,1)
-pairs, bit-interleaved within each word (except the first 15 bits of word
-1, which carry the preamble raw).
+Reference parity: beidou_b1i_telemetry_decoder_gs.cc (BCH(15,11,1) pairs,
+bit interleaving, word assembly decode_word :190) +
+beidou_dnav_navigation_message.cc d1_subframe_decoder (field positions and
+scale factors from Beidou_DNAV.h:57-153).  D1 NAV at 50 bps (NH20 wiped by
+tracking or the channel adapter), 300-bit subframes of ten 30-bit words.
 
-Round-1 scope: BCH codec with single-error correction, word interleaving,
-frame sync, SOW/FraID extraction and raw word capture (full ephemeris field
-extraction joins the BeiDou Keplerian model in a later round).
+Decoded-word layout matches the reference: each word carries
+[11 data | 11 data | 4 parity | 4 parity] after BCH decode + deinterleave
+(word 1 is copied raw), so the reference's 1-based field bit positions
+apply unchanged.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
@@ -89,12 +92,13 @@ def deinterleave_word(word30: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return word30[0::2], word30[1::2]
 
 
-def encode_word(data22: np.ndarray, first_word: bool = False) -> np.ndarray:
-    """22 data bits -> 30-bit D1 word.
+def encode_word(data22: np.ndarray, parity_a=None, parity_b=None,
+                first_word: bool = False) -> np.ndarray:
+    """22 data bits -> 30-bit TRANSMITTED D1 word.
 
-    Normal words: two BCH(15,11) codewords interleaved.  Word 1: first 15
-    bits raw (11 data incl. preamble + 4 parity placed uninterleaved),
-    second 15 BCH-coded."""
+    Normal words: two BCH(15,11) codewords interleaved.  Word 1 is
+    transmitted uninterleaved (the reference copies it raw,
+    decode_word :198)."""
     a = bch1511_encode(data22[:11])
     b = bch1511_encode(data22[11:22])
     if first_word:
@@ -104,70 +108,214 @@ def encode_word(data22: np.ndarray, first_word: bool = False) -> np.ndarray:
 
 def decode_word(word30: np.ndarray, first_word: bool = False
                 ) -> tuple[np.ndarray, bool]:
-    """30-bit word -> (22 data bits, ok)."""
+    """30-bit transmitted word -> (30-bit decoded-layout word
+    [11|11|4par|4par], ok) — reference decode_word :190."""
     if first_word:
-        a, ok_a = bch1511_decode(word30[:15])
-        b, ok_b = bch1511_decode(word30[15:])
-    else:
-        wa, wb = deinterleave_word(word30)
-        a, ok_a = bch1511_decode(wa)
-        b, ok_b = bch1511_decode(wb)
-    return np.concatenate([a, b]), ok_a and ok_b
+        return np.asarray(word30, dtype=np.int64), True
+    wa, wb = deinterleave_word(word30)
+    a, ok_a = bch1511_decode(wa)
+    b, ok_b = bch1511_decode(wb)
+    out = np.concatenate([a, b, wa[11:], wb[11:]])
+    return out, ok_a and ok_b
 
 
-def encode_subframe(fra_id: int, sow_s: float,
-                    payload_bits: np.ndarray | None = None) -> np.ndarray:
-    """One 300-bit D1 subframe: word 1 carries preamble + FraID + SOW MSBs,
-    word 2 SOW LSBs; remaining payload fills words 2-10."""
-    rng_fill = np.zeros(9 * 22, dtype=np.int64)
-    if payload_bits is not None:
-        rng_fill[: len(payload_bits)] = payload_bits
+# ----------------------------------------------------------------------
+# D1 field map: {subframe: {name: (((pos,len),...), lsb, signed)}} with
+# 1-based bit positions into the decoded 300-bit layout
+# (Beidou_DNAV.h:114-153; angles kept in SEMICIRCLES like GpsEphemeris,
+# so the PI factor of the reference's PI_TWO_N* scale factors is omitted)
+# ----------------------------------------------------------------------
+
+D1_FIELDS: dict[int, dict[str, tuple[tuple, float, bool]]] = {
+    1: {
+        "sat_h1": (((43, 1),), 1.0, False),
+        "aodc": (((44, 5),), 1.0, False),
+        "urai": (((49, 4),), 1.0, False),
+        "wn": (((61, 13),), 1.0, False),
+        "toc": (((74, 9), (91, 8)), 2.0 ** 3, False),
+        "tgd1": (((99, 10),), 0.1e-9, True),
+        "tgd2": (((121, 6),), 0.1e-9, True),
+        "alpha0": (((127, 8),), 2.0 ** -30, True),
+        "alpha1": (((135, 8),), 2.0 ** -27, True),
+        "alpha2": (((151, 8),), 2.0 ** -24, True),
+        "alpha3": (((159, 8),), 2.0 ** -24, True),
+        "beta0": (((167, 6), (181, 2)), 2.0 ** 11, True),
+        "beta1": (((183, 8),), 2.0 ** 14, True),
+        "beta2": (((191, 8),), 2.0 ** 16, True),
+        "beta3": (((199, 4), (211, 4)), 2.0 ** 16, True),
+        "a2": (((215, 11),), 2.0 ** -66, True),
+        "a0": (((226, 7), (241, 17)), 2.0 ** -33, True),
+        "a1": (((258, 5), (271, 17)), 2.0 ** -50, True),
+        "aode": (((288, 5),), 1.0, False),
+    },
+    2: {
+        "delta_n": (((43, 10), (61, 6)), 2.0 ** -43, True),
+        "cuc": (((67, 16), (91, 2)), 2.0 ** -31, True),
+        "m0": (((93, 20), (121, 12)), 2.0 ** -31, True),
+        "e": (((133, 10), (151, 22)), 2.0 ** -33, False),
+        "cus": (((181, 18),), 2.0 ** -31, True),
+        "crc": (((199, 4), (211, 14)), 2.0 ** -6, True),
+        "crs": (((225, 8), (241, 10)), 2.0 ** -6, True),
+        "sqrt_a": (((251, 12), (271, 20)), 2.0 ** -19, False),
+        "toe_msb": (((291, 2),), 1.0, False),
+    },
+    3: {
+        "toe_lsb": (((43, 10), (61, 5)), 1.0, False),
+        "i0": (((66, 17), (91, 15)), 2.0 ** -31, True),
+        "cic": (((106, 7), (121, 11)), 2.0 ** -31, True),
+        "omega_dot": (((132, 11), (151, 13)), 2.0 ** -43, True),
+        "cis": (((164, 9), (181, 9)), 2.0 ** -31, True),
+        "idot": (((190, 13), (211, 1)), 2.0 ** -43, True),
+        "omega0": (((212, 21), (241, 11)), 2.0 ** -31, True),
+        "omega": (((252, 11), (271, 21)), 2.0 ** -31, True),
+    },
+}
+
+
+def _read_bits(bits300: np.ndarray, spec) -> int:
+    v = 0
+    for pos, ln in spec:
+        for k in range(ln):
+            v = (v << 1) | int(bits300[pos - 1 + k])
+    return v
+
+
+def read_field(bits300: np.ndarray, spec, lsb: float, signed: bool) -> float:
+    nbits = sum(ln for _, ln in spec)
+    v = _read_bits(bits300, spec)
+    if signed and v >= (1 << (nbits - 1)):
+        v -= 1 << nbits
+    return v * lsb
+
+
+def _write_bits(bits300: np.ndarray, spec, value: int) -> None:
+    nbits = sum(ln for _, ln in spec)
+    value &= (1 << nbits) - 1
+    k = nbits
+    for pos, ln in spec:
+        for j in range(ln):
+            k -= 1
+            bits300[pos - 1 + j] = (value >> k) & 1
+
+
+def write_field(bits300: np.ndarray, spec, lsb: float, signed: bool,
+                value: float) -> None:
+    v = int(round(value / lsb))
+    _write_bits(bits300, spec, v)
+
+
+@dataclasses.dataclass
+class BeidouEphemeris:
+    """D1 broadcast ephemeris (beidou_dnav_ephemeris.h analogue) — field
+    names/units mirror GpsEphemeris (angles in semicircles) so the Kepler
+    propagator serves both; `system='C'` selects the CGCS2000 GM/omega_e."""
+
+    prn: int = 0
+    week: int = 0
+    toc: float = 0.0
+    toe: float = 0.0
+    af0: float = 0.0
+    af1: float = 0.0
+    af2: float = 0.0
+    tgd: float = 0.0
+    iodc: int = 0
+    iode: int = 0
+    sqrt_a: float = 0.0
+    e: float = 0.0
+    m0: float = 0.0
+    delta_n: float = 0.0
+    omega0: float = 0.0
+    i0: float = 0.0
+    omega: float = 0.0
+    omega_dot: float = 0.0
+    idot: float = 0.0
+    cuc: float = 0.0
+    cus: float = 0.0
+    crc: float = 0.0
+    crs: float = 0.0
+    cic: float = 0.0
+    cis: float = 0.0
+    sat_h1: int = 0
+    system: str = "C"
+
+
+@dataclasses.dataclass
+class BeidouIono:
+    """D1 subframe-1 Klobuchar parameters (alpha/beta)."""
+
+    alpha: tuple = (0.0, 0.0, 0.0, 0.0)
+    beta: tuple = (0.0, 0.0, 0.0, 0.0)
+    valid: bool = False
+
+
+def d1_fields_for(eph: "BeidouEphemeris", fra_id: int) -> dict[str, float]:
+    """Broadcast field dict for encode_subframe_bits from an ephemeris
+    (test/siggen fixture — the encoder inverse of DnavDecoder._extract)."""
+    if fra_id == 1:
+        return {"wn": eph.week, "toc": eph.toc, "tgd1": eph.tgd,
+                "a0": eph.af0, "a1": eph.af1, "a2": eph.af2,
+                "aodc": eph.iodc, "sat_h1": eph.sat_h1}
+    if fra_id == 2:
+        return {"delta_n": eph.delta_n, "cuc": eph.cuc, "m0": eph.m0,
+                "e": eph.e, "cus": eph.cus, "crc": eph.crc, "crs": eph.crs,
+                "sqrt_a": eph.sqrt_a, "toe_msb": int(eph.toe / 8.0) >> 15}
+    if fra_id == 3:
+        return {"toe_lsb": int(eph.toe / 8.0) & 0x7FFF, "i0": eph.i0,
+                "cic": eph.cic, "omega_dot": eph.omega_dot, "cis": eph.cis,
+                "idot": eph.idot, "omega0": eph.omega0, "omega": eph.omega}
+    return {}
+
+
+def encode_subframe_bits(fra_id: int, sow_s: float,
+                         fields: dict[str, float] | None = None
+                         ) -> np.ndarray:
+    """Build one TRANSMITTED 300-bit D1 subframe with ICD field placement
+    (test/siggen fixture; the inverse of decode_subframe)."""
+    layout = np.zeros(SUBFRAME_BITS, dtype=np.int64)
+    layout[:11] = D1_PREAMBLE
+    _write_bits(layout, ((16, 3),), fra_id)
     sow = int(sow_s)
-    w1 = np.zeros(22, dtype=np.int64)
-    # word-1 data layout (22 bits): preamble(11) FraID(3) SOW[19:12](8)
-    w1[:11] = D1_PREAMBLE
-    w1[11:14] = [(fra_id >> 2) & 1, (fra_id >> 1) & 1, fra_id & 1]
-    sow_hi = (sow >> 12) & 0xFF
-    for k in range(8):
-        w1[14 + k] = (sow_hi >> (7 - k)) & 1
-    words = [encode_word(w1, first_word=True)]
-    w2 = np.zeros(22, dtype=np.int64)
-    sow_lo = sow & 0xFFF
-    for k in range(12):
-        w2[k] = (sow_lo >> (11 - k)) & 1
-    w2[12:22] = rng_fill[:10]
-    words.append(encode_word(w2))
-    for w in range(8):
-        words.append(encode_word(rng_fill[10 + w * 22 : 10 + (w + 1) * 22]))
-    return np.concatenate(words)
+    _write_bits(layout, ((19, 8), (31, 12)), sow)
+    if fields:
+        spec_map = D1_FIELDS.get(fra_id, {})
+        for name, value in fields.items():
+            spec, lsb, signed = spec_map[name]
+            write_field(layout, spec, lsb, signed, value)
+    # per-word encode: layout words are [11|11|4par|4par]; rebuild parity
+    out = []
+    for w in range(10):
+        word = layout[w * 30 : (w + 1) * 30]
+        if w == 0:
+            # word 1 is transmitted raw (reference copies it verbatim);
+            # fill its 4 parity bits with the BCH parity of bits 16-26
+            tx = np.concatenate([word[:26], bch1511_encode(word[15:26])[11:]])
+            out.append(tx)
+        else:
+            out.append(encode_word(word[:22]))
+    return np.concatenate(out)
 
 
 def decode_subframe(bits300: np.ndarray) -> dict | None:
-    """Returns {fra_id, sow_s, words: [10][22]} or None on preamble/BCH
-    failure."""
-    w1, ok = decode_word(bits300[:30], first_word=True)
-    if not ok or not np.array_equal(w1[:11], D1_PREAMBLE):
-        return None
-    data = [w1]
-    for w in range(1, 10):
-        d, ok = decode_word(bits300[w * 30 : (w + 1) * 30])
+    """Transmitted 300 bits -> {fra_id, sow_s, layout} or None on
+    preamble/BCH failure."""
+    words = []
+    for w in range(10):
+        d, ok = decode_word(bits300[w * 30 : (w + 1) * 30], first_word=w == 0)
         if not ok:
             return None
-        data.append(d)
-    fra_id = (int(w1[11]) << 2) | (int(w1[12]) << 1) | int(w1[13])
-    sow_hi = 0
-    for k in range(8):
-        sow_hi = (sow_hi << 1) | int(w1[14 + k])
-    sow_lo = 0
-    for k in range(12):
-        sow_lo = (sow_lo << 1) | int(data[1][k])
-    return {"fra_id": fra_id, "sow_s": float((sow_hi << 12) | sow_lo),
-            "words": np.stack(data)}
+        words.append(d)
+    layout = np.concatenate(words)
+    if not np.array_equal(layout[:11], D1_PREAMBLE):
+        return None
+    fra_id = _read_bits(layout, ((16, 3),))
+    sow = _read_bits(layout, ((19, 8), (31, 12)))
+    return {"fra_id": fra_id, "sow_s": float(sow), "layout": layout}
 
 
 class DnavDecoder:
     """Per-channel D1 NAV decoder: one prompt per 20 ms bit (NH20 already
-    wiped by tracking's secondary-code handling)."""
+    wiped).  Accumulates subframes 1-3 into a BeidouEphemeris
+    (beidou_dnav_navigation_message.cc d1_subframe_decoder)."""
 
     def __init__(self, prn: int = 0):
         self.prn = prn
@@ -178,15 +326,68 @@ class DnavDecoder:
         self._decoded_until = 0
         self._tow_symbol: int | None = None
         self._sow_s: float | None = None
+        self.ephemeris = BeidouEphemeris(prn=prn)
+        self.iono = BeidouIono()
+        self._have: set[int] = set()
+        self._toe_msb: float | None = None
+        self._toe_lsb: float | None = None
 
     def push(self, prompt_i) -> None:
         self._soft.extend(np.asarray(prompt_i, dtype=np.float64))
         self._process()
 
+    @property
+    def ephemeris_complete(self) -> bool:
+        return {1, 2, 3}.issubset(self._have)
+
     def sow_at_symbol(self, symbol_idx: int) -> float | None:
         if self._sow_s is None:
             return None
         return self._sow_s + 0.02 * (symbol_idx - self._tow_symbol)
+
+    def _extract(self, fra_id: int, layout: np.ndarray, sow: float) -> None:
+        f = {}
+        for name, (spec, lsb, signed) in D1_FIELDS[fra_id].items():
+            f[name] = read_field(layout, spec, lsb, signed)
+        eph = self.ephemeris
+        if fra_id == 1:
+            eph.week = int(f["wn"])
+            eph.toc = f["toc"]
+            eph.tgd = f["tgd1"]
+            eph.af0 = f["a0"]
+            eph.af1 = f["a1"]
+            eph.af2 = f["a2"]
+            eph.iodc = int(f["aodc"])
+            eph.sat_h1 = int(f["sat_h1"])
+            self.iono = BeidouIono(
+                alpha=(f["alpha0"], f["alpha1"], f["alpha2"], f["alpha3"]),
+                beta=(f["beta0"], f["beta1"], f["beta2"], f["beta3"]),
+                valid=True)
+        elif fra_id == 2:
+            eph.delta_n = f["delta_n"]
+            eph.cuc = f["cuc"]
+            eph.m0 = f["m0"]
+            eph.e = f["e"]
+            eph.cus = f["cus"]
+            eph.crc = f["crc"]
+            eph.crs = f["crs"]
+            eph.sqrt_a = f["sqrt_a"]
+            self._toe_msb = f["toe_msb"]
+        elif fra_id == 3:
+            self._toe_lsb = f["toe_lsb"]
+            eph.i0 = f["i0"]
+            eph.cic = f["cic"]
+            eph.omega_dot = f["omega_dot"]
+            eph.cis = f["cis"]
+            eph.idot = f["idot"]
+            eph.omega0 = f["omega0"]
+            eph.omega = f["omega"]
+        if self._toe_msb is not None and self._toe_lsb is not None:
+            # TOE split: 2 MSBs in sf2, 15 LSBs in sf3, LSB scale 2^3
+            eph.toe = (int(self._toe_msb) * (1 << 15)
+                       + int(self._toe_lsb)) * 8.0
+        if fra_id in (1, 2, 3):
+            self._have.add(fra_id)
 
     def _process(self) -> None:
         s = np.asarray(self._soft)
@@ -205,6 +406,7 @@ class DnavDecoder:
                     # SOW = transmit time of the START of this subframe
                     self._tow_symbol = i
                     self._sow_s = r["sow_s"]
+                    self._extract(r["fra_id"], r["layout"], r["sow_s"])
                     i += SUBFRAME_BITS
                     decoded = True
                     break

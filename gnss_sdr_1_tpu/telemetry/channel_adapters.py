@@ -85,9 +85,18 @@ class BeidouChannelDecoder:
         return sow + 0.02 * frac
 
     @property
+    def ephemeris(self):
+        return self._dec.ephemeris
+
+    @property
+    def iono(self):
+        return self._dec.iono
+
+    @property
     def ephemeris_complete(self) -> bool:
-        # D1 ephemeris field extraction lands next round; SOW/framing only
-        return False
+        # subframes 1-3 decoded (beidou_dnav_navigation_message.cc
+        # have_new_ephemeris gating)
+        return self._dec.ephemeris_complete
 
     @property
     def raw(self):

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .lnav import (GpsEphemeris, GpsIono, GpsUtc, LNAV_PREAMBLE,
+from .lnav import (GpsAlmanac, GpsEphemeris, GpsIono, GpsUtc, LNAV_PREAMBLE,
                    decode_subframe)
 
 _SYMBOLS_PER_BIT = 20
@@ -51,6 +51,7 @@ class LnavDecoder:
         self.ephemeris = GpsEphemeris(prn=prn)
         self.iono = GpsIono()
         self.utc = GpsUtc()
+        self.almanacs: dict[int, "GpsAlmanac"] = {}  # sf4/5 pages, by SV id
         self.have_subframes: set[int] = set()
         # TOW anchored at a symbol index: tow_s at epoch `self._tow_symbol`
         self._tow_symbol: int | None = None
@@ -145,7 +146,8 @@ class LnavDecoder:
             d29s = int(bits[i - 2]) if i >= 2 else 0
             d30s = int(bits[i - 1]) if i >= 1 else 0
             r = decode_subframe(bits[i : i + _BITS_PER_SUBFRAME], d29s, d30s,
-                                self.ephemeris, iono=self.iono, utc=self.utc)
+                                self.ephemeris, iono=self.iono, utc=self.utc,
+                                almanacs=self.almanacs)
             if r is None:
                 # parity slip: drop sync, re-search from the next bit
                 self.frame_sync = False

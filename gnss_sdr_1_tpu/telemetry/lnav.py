@@ -165,6 +165,38 @@ class GpsUtc:
     valid: bool = False
 
 
+@dataclasses.dataclass
+class GpsAlmanac:
+    """Subframe 4/5 almanac page (IS-GPS-200 20.3.3.5.1.2, Table 20-VI;
+    gps_almanac.h / gps_navigation_message.cc subframe 4/5 SV pages).
+    Angles in semicircles; delta_i is relative to the 0.30-semicircle
+    reference inclination."""
+
+    prn: int = 0
+    e: float = 0.0
+    toa: float = 0.0
+    delta_i: float = 0.0
+    omega_dot: float = 0.0
+    sv_health: int = 0
+    sqrt_a: float = 0.0
+    omega0: float = 0.0
+    omega: float = 0.0
+    m0: float = 0.0
+    af0: float = 0.0
+    af1: float = 0.0
+
+    def to_ephemeris(self, week: int = 0) -> GpsEphemeris:
+        """Almanac -> coarse ephemeris for visible-sat prediction
+        (control_thread.cc get_visible_sats :890 builds az/el from almanac
+        exactly this way)."""
+        return GpsEphemeris(
+            prn=self.prn, week=week, toc=self.toa, toe=self.toa,
+            af0=self.af0, af1=self.af1,
+            sqrt_a=self.sqrt_a, e=self.e, m0=self.m0,
+            omega0=self.omega0, i0=0.30 + self.delta_i, omega=self.omega,
+            omega_dot=self.omega_dot)
+
+
 def _pack(fields: list[tuple[int, int]]) -> np.ndarray:
     """fields = [(value, nbits), ...] -> bit array (MSB first), 24*8=240 bits
     for 8 data words."""
@@ -186,9 +218,28 @@ def _unpack(bits: np.ndarray, widths: list[int]) -> list[int]:
     return out
 
 
+def _almanac_page_words(words: np.ndarray, alm: GpsAlmanac) -> None:
+    """Fill words 3-10 with an almanac page (Table 20-VI layout:
+    dataID/svID/e | toa/delta_i | omega_dot/health | sqrtA | omega0 |
+    omega | M0 | af0msb/af1/af0lsb)."""
+    words[2] = _pack([(1, 2), (alm.prn & 0x3F, 6), (_uint(alm.e, -21, 16), 16)])
+    words[3] = _pack([(_uint(alm.toa, 12, 8), 8),
+                      (_twoc(alm.delta_i, -19, 16), 16)])
+    words[4] = _pack([(_twoc(alm.omega_dot, -38, 16), 16),
+                      (alm.sv_health & 0xFF, 8)])
+    words[5] = _pack([(_uint(alm.sqrt_a, -11, 24), 24)])
+    words[6] = _pack([(_twoc(alm.omega0, -23, 24), 24)])
+    words[7] = _pack([(_twoc(alm.omega, -23, 24), 24)])
+    words[8] = _pack([(_twoc(alm.m0, -23, 24), 24)])
+    af0 = _twoc(alm.af0, -20, 11)
+    words[9] = _pack([((af0 >> 3) & 0xFF, 8), (_twoc(alm.af1, -38, 11), 11),
+                      (af0 & 0x7, 3), (0, 2)])
+
+
 def _subframe_data_words(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
                          iono: GpsIono | None = None,
-                         utc: GpsUtc | None = None) -> np.ndarray:
+                         utc: GpsUtc | None = None,
+                         almanac: GpsAlmanac | None = None) -> np.ndarray:
     """Build the 10x24 source data bits of one subframe (before parity)."""
     words = np.zeros((10, 24), dtype=np.int64)
     # Word 1: TLM — preamble + message (zeros) + reserved
@@ -234,6 +285,8 @@ def _subframe_data_words(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
         words[9] = _pack([
             (eph.iode & 0xFF, 8), (_twoc(eph.idot, -43, 14), 14), (0, 2)
         ])
+    elif sf_id in (4, 5) and almanac is not None:
+        _almanac_page_words(words, almanac)
     elif sf_id == 4 and iono is not None and utc is not None:
         # Page 18 (SV ID 56): iono + UTC (IS-GPS-200 20.3.3.5.1;
         # gps_navigation_message.cc subframe 4 case, SV_ID 56 branch)
@@ -271,9 +324,11 @@ def _subframe_data_words(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
 def encode_subframe(sf_id: int, eph: GpsEphemeris, tow_next_s: float,
                     d29s: int, d30s: int,
                     iono: GpsIono | None = None,
-                    utc: GpsUtc | None = None) -> tuple[np.ndarray, int, int]:
+                    utc: GpsUtc | None = None,
+                    almanac: GpsAlmanac | None = None
+                    ) -> tuple[np.ndarray, int, int]:
     """Encode one 300-bit subframe; returns (bits, D29*, D30*) for chaining."""
-    words = _subframe_data_words(sf_id, eph, tow_next_s, iono, utc)
+    words = _subframe_data_words(sf_id, eph, tow_next_s, iono, utc, almanac)
     out = np.zeros(300, dtype=np.int64)
     for w in range(10):
         solve = w in (1, 9)
@@ -287,19 +342,27 @@ def encode_lnav_frame(eph: GpsEphemeris, tow_first_s: float,
                       n_subframes: int = 5,
                       subframe_cycle: tuple[int, ...] = (1, 2, 3, 4, 5),
                       iono: GpsIono | None = None,
-                      utc: GpsUtc | None = None) -> np.ndarray:
+                      utc: GpsUtc | None = None,
+                      almanacs: list[GpsAlmanac] | None = None) -> np.ndarray:
     """Encode consecutive subframes cycling through `subframe_cycle`,
     starting at TOW `tow_first_s` (start of the first subframe).  Returns a
     0/1 bit array of length 300*n_subframes.  (Tests use cycle (1,2,3) to
     shorten time-to-complete-ephemeris.)  When iono+utc are given, every
-    subframe 4 carries page 18."""
+    subframe 4 carries page 18; `almanacs` pages cycle through subframe 5
+    occurrences (and subframe 4 when no iono/utc page occupies it)."""
     bits = []
     d29s = d30s = 0
+    alm_k = 0
     for k in range(n_subframes):
         sf_id = subframe_cycle[k % len(subframe_cycle)]
         tow_next = tow_first_s + (k + 1) * 6.0
+        alm = None
+        if almanacs and (sf_id == 5
+                         or (sf_id == 4 and iono is None and utc is None)):
+            alm = almanacs[alm_k % len(almanacs)]
+            alm_k += 1
         sf, d29s, d30s = encode_subframe(sf_id, eph, tow_next, d29s, d30s,
-                                         iono, utc)
+                                         iono, utc, alm)
         bits.append(sf)
     return np.concatenate(bits)
 
@@ -307,12 +370,15 @@ def encode_lnav_frame(eph: GpsEphemeris, tow_first_s: float,
 def decode_subframe(bits300: np.ndarray, d29s: int, d30s: int,
                     eph: GpsEphemeris,
                     iono: GpsIono | None = None,
-                    utc: GpsUtc | None = None) -> tuple[int, float] | None:
-    """Decode one 300-bit subframe into `eph` (in place).
+                    utc: GpsUtc | None = None,
+                    almanacs: dict[int, GpsAlmanac] | None = None
+                    ) -> tuple[int, float] | None:
+    """Decode one 300-bit subframe into `eph` (in place); subframe 4/5
+    almanac pages land in `almanacs` keyed by SV id.
 
     Returns (subframe_id, tow_next_s) on success or None on parity failure.
     Mirrors Gps_Navigation_Message::subframe_decoder
-    (gps_navigation_message.cc:200+).
+    (gps_navigation_message.cc:200+ incl. the :651-area almanac pages).
     """
     bits = np.asarray(bits300, dtype=np.int64)
     data = np.zeros((10, 24), dtype=np.int64)
@@ -378,9 +444,32 @@ def decode_subframe(bits300: np.ndarray, d29s: int, d30s: int,
         eph.omega_dot = _sbits(omdot, 24) * 2.0**-43
         eph.iode = iode3
         eph.idot = _sbits(idot, 14) * 2.0**-43
-    elif sf_id == 4:
+    elif sf_id in (4, 5):
         _did, svid = _unpack(data[2][:8], [2, 6])
-        if svid == 56:  # page 18: iono + UTC
+        if 1 <= svid <= 32 and almanacs is not None:
+            _d, _s, e_raw = _unpack(data[2], [2, 6, 16])
+            toa_raw, di = _unpack(data[3], [8, 16])
+            omdot, health = _unpack(data[4], [16, 8])
+            (sqa,) = _unpack(data[5], [24])
+            (om0,) = _unpack(data[6], [24])
+            (om,) = _unpack(data[7], [24])
+            (m0,) = _unpack(data[8], [24])
+            af0_hi, af1, af0_lo, _t = _unpack(data[9], [8, 11, 3, 2])
+            almanacs[svid] = GpsAlmanac(
+                prn=svid,
+                e=e_raw * 2.0**-21,
+                toa=toa_raw * 2.0**12,
+                delta_i=_sbits(di, 16) * 2.0**-19,
+                omega_dot=_sbits(omdot, 16) * 2.0**-38,
+                sv_health=health,
+                sqrt_a=sqa * 2.0**-11,
+                omega0=_sbits(om0, 24) * 2.0**-23,
+                omega=_sbits(om, 24) * 2.0**-23,
+                m0=_sbits(m0, 24) * 2.0**-23,
+                af0=_sbits((af0_hi << 3) | af0_lo, 11) * 2.0**-20,
+                af1=_sbits(af1, 11) * 2.0**-38,
+            )
+        elif svid == 56 and sf_id == 4:  # page 18: iono + UTC
             if iono is not None:
                 _d, _s, a0i, a1i = _unpack(data[2], [2, 6, 8, 8])
                 a2i, a3i, b0 = _unpack(data[3], [8, 8, 8])

@@ -23,12 +23,24 @@ class TrackConfig:
     # loop bandwidths / orders (wide = pull-in, narrow = steady state)
     pll_bw_hz: float = 35.0
     dll_bw_hz: float = 2.0
-    pll_bw_narrow_hz: float = 5.0
+    # narrow (states 3/4) loop bandwidths: at 20 ms updates the bilinear
+    # order-3 cascade is marginally damped below ~8 Hz (33 deg phase
+    # oscillations persisting for seconds); 12 Hz converges in < 1 s with
+    # sigma_phi ~ 6 deg at 30 dB-Hz
+    pll_bw_narrow_hz: float = 12.0
     dll_bw_narrow_hz: float = 0.75
     pll_filter_order: int = 3
     dll_filter_order: int = 2
     enable_fll_pull_in: bool = False
     fll_bw_hz: float = 35.0
+    # narrow-mode FLL pull-in transitory on half-window accumulations:
+    # bridges the wide->narrow Doppler hand-off error past the narrow PLL
+    # pull-in range (half-windows sit inside one bit, so the discriminator
+    # is flip-free).  Runs FLL-assisted for fll_narrow_windows loop updates
+    # after enable_extended, then the carrier filter is re-seeded from the
+    # converged Doppler and the pure narrow PLL takes over.
+    fll_bw_narrow_hz: float = 8.0
+    fll_narrow_windows: int = 20
     pull_in_time_s: float = 2.0        # FLL transitory duration
 
     # correlator geometry
@@ -41,10 +53,14 @@ class TrackConfig:
     cn0_min_dbhz: float = 25.0
     max_lock_fail: int = 50
     carrier_lock_th: float = 0.85
-    # epochs after pull-in before lock supervision starts counting (the
-    # reference instead relies on its FSM re-acquiring dropped channels;
-    # a grace period avoids churn during PLL pull-in transients)
-    supervision_grace_epochs: int = 600
+
+    # states 3/4: coherent extension window in epochs once the host reports
+    # bit/secondary sync (Dll_Pll_Conf.extend_correlation_symbols,
+    # dll_pll_veml_tracking.cc:1774-1900)
+    extend_correlation_symbols: int = 20
+    # epochs correlated per device-loop iteration in the chunked FFT path
+    # (one batched [C*chunk, F] FFT per iteration — the TPU throughput lever)
+    chunk_epochs: int = 16
 
     # correlator backend:
     #   'gather' — per-sample floor code resampler (the reference's exact

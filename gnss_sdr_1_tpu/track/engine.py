@@ -3,11 +3,23 @@
 Reference parity: dll_pll_veml_tracking.cc (src/algorithms/tracking/
 gnuradio_blocks/).  The reference runs one GNU Radio thread per channel with a
 state machine in general_work (:1544-1900); here every channel advances in
-lock-step through a `lax.scan` over integration epochs inside one jitted
-call per sample block, with the multicorrelator vmapped across channels
-(SURVEY.md §2.7 TPU mapping).  The channel lifecycle FSM (acquisition ->
-pull-in -> track -> drop) lives on HOST between blocks; the device carries
-only branch-light per-channel loop state.
+lock-step through integration epochs inside one jitted call per sample
+block, with the multicorrelator vmapped across channels (SURVEY.md §2.7 TPU
+mapping).  The channel lifecycle FSM (acquisition -> pull-in -> track ->
+drop) lives on HOST between blocks; the device carries only branch-light
+per-channel loop state.
+
+Tracking states (reference general_work :1544-1900):
+  state 1 pull-in       -> activate_channel (host)
+  state 2 wide          -> mode 0: per-epoch loop closure, wide bandwidths,
+                           optional FLL transitory
+  state 3/4 narrow ext. -> mode 1 via enable_extended (host, after bit /
+                           secondary sync): coherent accumulation over
+                           extend_correlation_symbols epochs aligned to the
+                           channel's bit grid, loop closed once per window
+                           with the NARROW bandwidths (:1774-1900), optional
+                           in-loop secondary wipe-off + four-quadrant PLL
+                           (start_tracking pilot setup :549-660).
 
 Numerical contracts implemented exactly (SURVEY.md Appendix A):
   A.2 floor code resampler      A.3 discriminators
@@ -18,9 +30,21 @@ Numerical contracts implemented exactly (SURVEY.md Appendix A):
   A.7 CN0 SNV estimator + carrier lock detector + max_lock_fail counter
 
 Variable block length: the reference consumes d_current_prn_length_samples
-(varies +-1-2 samples with code Doppler) per GR work call; here each scan
-step slices a fixed `epoch_samples_max` window at the channel's `start`
-index and masks samples beyond `cur_len` (SURVEY.md §7 hard part 1).
+(varies +-1-2 samples with code Doppler) per GR work call; here each epoch
+slices a fixed `epoch_samples_max` window at the channel's `start` index and
+masks samples beyond `cur_len` (SURVEY.md §7 hard part 1).
+
+Chunked correlation (correlator='fft', the TPU fast path): per-epoch
+dispatch dominates wall time on TPU (PERF.md), so `chunk_epochs` epochs are
+correlated in ONE batched FFT pass per device-loop iteration using the
+chunk-entry NCO rates (the frozen/predicted frame), then an exact unrolled
+per-epoch scalar chain reproduces the sequential loop closures, reading each
+epoch's taps from the batched lag window and rotating them into the
+channel's true-NCO frame (the known frozen-vs-true phase difference).  NCO
+corrections computed inside a chunk steer the correlation of the NEXT chunk
+— within-chunk rate drift is measured and corrected, only its wipe-off
+amplitude effect is neglected (< 0.01 dB for the < 50 Hz of drift a loop
+update can introduce over one chunk).
 """
 
 from __future__ import annotations
@@ -40,9 +64,11 @@ from .discriminators import (
     dll_nc_vemlp_normalized,
     fll_four_quadrant_atan,
     pll_cloop_two_quadrant_atan,
+    pll_four_quadrant_atan,
 )
 from .lock_detectors import carrier_lock_detector, cn0_svn_estimator
 from .loop_filter import (
+    FllPllCoeffs,
     FllPllState,
     IirState,
     fll_pll_apply,
@@ -72,9 +98,16 @@ class TrackState(NamedTuple):
     prev_prompt: jnp.ndarray       # f32 [C, 2] — previous Prompt (FLL)
     prompt_hist: jnp.ndarray       # f32 [C, cn0_samples, 2] sliding buffer
     hist_count: jnp.ndarray        # int32 prompts accumulated
+    push_count: jnp.ndarray        # int32 total loop-closure prompts pushed
     lock_fail: jnp.ndarray         # int32 consecutive lock failures
     epochs_in_track: jnp.ndarray   # int32 epochs since pull-in
     fll_on: jnp.ndarray            # bool — FLL pull-in transitory active
+    mode: jnp.ndarray              # int32 0=wide (state 2), 1=narrow/extended
+    ext_cnt: jnp.ndarray           # int32 epochs in the current ext. window
+    acc_corr: jnp.ndarray          # f32 [C, K, 2] coherent tap accumulator
+    acc_half: jnp.ndarray          # f32 [C, 2] prompt acc at mid-window (FLL)
+    sec_on: jnp.ndarray            # bool — in-loop secondary wipe active
+    sec_idx: jnp.ndarray           # int32 secondary-code chip index
 
 
 class TrackOutputs(NamedTuple):
@@ -111,9 +144,15 @@ class TrackingEngine:
     +-1 replicas (one row per trackable PRN); channels reference rows via
     `prn_slot`, so host-side satellite reassignment is an int update —
     the analogue of flowgraph satellite recycling (gnss_flowgraph.cc:1076).
+
+    `sec_codes` (optional [n_slots, sec_len] +-1) are the per-slot secondary
+    codes for in-loop wipe-off once the host reports secondary lock via
+    `enable_extended` (reference start_tracking pilot setup,
+    dll_pll_veml_tracking.cc:549-660 and acquire_secondary :800).
     """
 
-    def __init__(self, cfg: TrackConfig, codes: np.ndarray):
+    def __init__(self, cfg: TrackConfig, codes: np.ndarray,
+                 sec_codes: np.ndarray | None = None):
         self.cfg = cfg
         if codes.ndim != 2:
             raise ValueError("codes must be [n_slots, code_samples]")
@@ -122,15 +161,31 @@ class TrackingEngine:
             np.asarray(cfg.tap_shifts_chips(), dtype=np.float32)
             * cfg.code_samples_per_chip
         )
-        # loop filter constants
+        if sec_codes is None:
+            sec_codes = np.ones((codes.shape[0], 1), dtype=np.float32)
+        if sec_codes.ndim != 2 or sec_codes.shape[0] != codes.shape[0]:
+            raise ValueError("sec_codes must be [n_slots, sec_len]")
+        self._sec = jnp.asarray(sec_codes, dtype=jnp.float32)
+        self._sec_len = int(sec_codes.shape[1])
+        # loop filter constants — wide (state 2) and narrow (states 3/4,
+        # Dll_Pll_Conf *_bw_narrow_hz, dll_pll_conf.h:40-80)
         self._fllpll = fll_pll_coefficients(
             cfg.fll_bw_hz, cfg.pll_bw_hz, cfg.pll_filter_order
+        )
+        self._fllpll_n = fll_pll_coefficients(
+            cfg.fll_bw_narrow_hz, cfg.pll_bw_narrow_hz, cfg.pll_filter_order
         )
         b_in, b_out = iir_coefficients(
             cfg.dll_bw_hz, cfg.code_period_s, cfg.dll_filter_order, False
         )
         self._dll_b_in = jnp.asarray(b_in)
         self._dll_b_out = jnp.asarray(b_out)
+        t_ext = cfg.code_period_s * cfg.extend_correlation_symbols
+        b_in_n, b_out_n = iir_coefficients(
+            cfg.dll_bw_narrow_hz, t_ext, cfg.dll_filter_order, False
+        )
+        self._dll_b_in_n = jnp.asarray(b_in_n)
+        self._dll_b_out_n = jnp.asarray(b_out_n)
         # split-precision code period constants (A.6)
         t0 = float(cfg.samples_per_code)
         self._t0_int = int(np.floor(t0))
@@ -156,8 +211,16 @@ class TrackingEngine:
             rep_fft_conj = np.conj(np.fft.fft(reps, axis=1)).astype(np.complex64)
             self._rep_fft_conj_planar = jnp.asarray(
                 np.stack([rep_fft_conj.real, rep_fft_conj.imag], axis=-1))
-        # inner static scan length of the hybrid capture loop
-        self._chunk_epochs = 4
+            # static lag read window: pos = margin + rem(<2) + |shift|*s/chip
+            spc_samples = cfg.fs_hz / cfg.chip_rate_chips_s
+            max_shift = max(abs(s) for s in cfg.tap_shifts_chips())
+            self._lag_window = int(
+                np.ceil(self._lag_margin + 4 + max_shift * spc_samples)) + 4
+            self._chunk_epochs = cfg.chunk_epochs
+        else:
+            # per-epoch gather path: small inline factor amortizes loop
+            # dispatch without blowing up the compiled body
+            self._chunk_epochs = 4
         self._fll_epochs = int(round(cfg.pull_in_time_s / cfg.code_period_s))
         self._block_fn = jax.jit(
             self._track_block_impl, static_argnames=("base", "n_epochs")
@@ -171,6 +234,7 @@ class TrackingEngine:
 
     def init_state(self) -> TrackState:
         C = self.cfg.n_channels
+        K = self.cfg.n_taps
         f32 = jnp.float32
         zf = jnp.zeros(C, f32)
         zi = jnp.zeros(C, jnp.int32)
@@ -190,9 +254,16 @@ class TrackingEngine:
             prev_prompt=jnp.zeros((C, 2), f32),
             prompt_hist=jnp.zeros((C, self.cfg.cn0_samples, 2), f32),
             hist_count=zi,
+            push_count=zi,
             lock_fail=zi,
             epochs_in_track=zi,
             fll_on=jnp.zeros(C, bool),
+            mode=zi,
+            ext_cnt=zi,
+            acc_corr=jnp.zeros((C, K, 2), f32),
+            acc_half=jnp.zeros((C, 2), f32),
+            sec_on=jnp.zeros(C, bool),
+            sec_idx=zi,
         )
 
     def activate_channel(
@@ -249,10 +320,78 @@ class TrackingEngine:
             prev_prompt=state.prev_prompt.at[ch].set(0.0),
             prompt_hist=state.prompt_hist.at[ch].set(0.0),
             hist_count=set_at(state.hist_count, 0),
+            push_count=set_at(state.push_count, 0),
             lock_fail=set_at(state.lock_fail, 0),
             epochs_in_track=set_at(state.epochs_in_track, 0),
             fll_on=set_at(state.fll_on, bool(self.cfg.enable_fll_pull_in)),
+            mode=set_at(state.mode, 0),
+            ext_cnt=set_at(state.ext_cnt, 0),
+            acc_corr=state.acc_corr.at[ch].set(0.0),
+            acc_half=state.acc_half.at[ch].set(0.0),
+            sec_on=set_at(state.sec_on, False),
+            sec_idx=set_at(state.sec_idx, 0),
         )
+
+    def enable_extended(
+        self,
+        state: TrackState,
+        ch: int,
+        epochs_to_boundary: int,
+        sec_phase: int | None = None,
+    ) -> TrackState:
+        """Switch a channel to states 3/4 (narrow bandwidths + coherent
+        extension over extend_correlation_symbols epochs), reference
+        dll_pll_veml_tracking.cc:1774-1900.
+
+        `epochs_to_boundary`: how many MORE epochs until the channel's next
+        bit / secondary-sequence boundary (host knows it from telemetry bit
+        sync); the first (possibly partial) window closes there so every
+        later window is boundary-aligned.  `sec_phase`: current index into
+        the slot's secondary code — enables in-loop wipe-off and the
+        four-quadrant PLL (data-free channel)."""
+        n = self.cfg.extend_correlation_symbols
+        e = int(epochs_to_boundary) % n
+        if e == 0:
+            e = n
+
+        def set_at(arr, value):
+            return arr.at[ch].set(value)
+
+        # Re-seed the carrier filter integrators for the narrow coefficients:
+        # the current Doppler estimate carries over, the wide loop's
+        # transient rate-integrator state does not (a residual `w` scaled
+        # for the wide w0p^3 gain would take seconds to bleed off through
+        # the 9x-slower narrow loop and drag the NCO off the signal).
+        d = state.carrier_doppler_hz[ch]
+        if self._fllpll.order == 3:
+            w0, x0 = jnp.float32(0.0), 2.0 * d
+        else:
+            w0, x0 = d, jnp.float32(0.0)
+        st = state._replace(
+            mode=set_at(state.mode, 1),
+            ext_cnt=set_at(state.ext_cnt, n - e),
+            acc_corr=state.acc_corr.at[ch].set(0.0),
+            acc_half=state.acc_half.at[ch].set(0.0),
+            prompt_hist=state.prompt_hist.at[ch].set(0.0),
+            hist_count=set_at(state.hist_count, 0),
+            push_count=set_at(state.push_count, 0),
+            lock_fail=set_at(state.lock_fail, 0),
+            fll_on=set_at(state.fll_on, self.cfg.fll_narrow_windows > 0),
+            carr_filter=FllPllState(
+                w=set_at(state.carr_filter.w, w0),
+                x=set_at(state.carr_filter.x, x0),
+            ),
+            code_filter=IirState(
+                inputs=state.code_filter.inputs.at[ch].set(0.0),
+                outputs=state.code_filter.outputs,
+            ),
+        )
+        if sec_phase is not None:
+            st = st._replace(
+                sec_on=set_at(st.sec_on, True),
+                sec_idx=set_at(st.sec_idx, int(sec_phase) % self._sec_len),
+            )
+        return st
 
     def deactivate_channel(self, state: TrackState, ch: int) -> TrackState:
         return state._replace(active=state.active.at[ch].set(False))
@@ -261,123 +400,118 @@ class TrackingEngine:
         """Shift block-relative start indices after a block is consumed."""
         return state._replace(start=state.start - jnp.int32(base))
 
-    # ---------------- device path ----------------
+    # ---------------- device path: shared loop closure ----------------
 
-    def _fft_correlate(self, segs, state: TrackState, carr_step):
-        """FFT-lag correlator: carrier wipe-off, one batched circular
-        correlation against the precomputed replica-template FFT, taps read
-        by linear interpolation at fractional sample lags.
+    def _fllpll_select(self, narrow):
+        """Per-channel wide/narrow FLL-PLL coefficient select (reference
+        switches Dll_Pll_Conf bandwidths between states 2 and 3/4)."""
+        w, n = self._fllpll, self._fllpll_n
+        f32 = jnp.float32
 
-        Numerics vs the reference's floor resampler: the interpolated
-        correlator has LESS code-phase scalloping; the replica is at the
-        nominal chip rate (code-Doppler rate mismatch within one epoch is
-        < 0.01 chips — negligible).  No per-sample gathers, so it runs at
-        VPU/FFT speed on TPU where gathers serialize.
+        def sel(a, b):
+            return jnp.where(narrow, f32(b), f32(a))
+
+        return FllPllCoeffs(
+            order=w.order,
+            w0p=sel(w.w0p, n.w0p), w0p2=sel(w.w0p2, n.w0p2),
+            w0p3=sel(w.w0p3, n.w0p3), w0f=sel(w.w0f, n.w0f),
+            w0f2=sel(w.w0f2, n.w0f2), a2=sel(w.a2, n.a2),
+            a3=sel(w.a3, n.a3), b3=sel(w.b3, n.b3),
+        )
+
+    def _loop_update(self, state: TrackState, corr, valid):
+        """Close the tracking loops for one epoch given `corr` [C, K]
+        (complex, true-NCO frame): discriminators + filters (A.3/A.5,
+        run_dll_pll :914-996), extended-mode coherent accumulation
+        (states 3/4, :1774-1900), A.6 NCO stepping, A.7 supervision.
+        Returns (new_state merged by `valid`, TrackOutputs for the epoch).
         """
         cfg = self.cfg
         f32 = jnp.float32
-        C, Nmax = segs.shape
-        F = self._fft_size
-        n = jnp.arange(Nmax, dtype=f32)
-        phase = state.rem_carr_phase_rad[:, None] + carr_step[:, None] * n[None, :]
-        wiped = segs * jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        mask = n[None, :] < state.cur_len[:, None].astype(f32)
-        wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
-        rep_fft_conj = unpack_complex(self._rep_fft_conj_planar)[state.prn_slot]
-        z = jnp.fft.ifft(jnp.fft.fft(wiped, n=F, axis=-1) * rep_fft_conj,
-                         axis=-1)                              # [C, F]
-        # tap lag positions: margin + rem_samples*(code_freq/chip_rate)
-        #                    - shift_chips * fs/chip_rate
-        samples_per_chip = f32(cfg.fs_hz / cfg.chip_rate_chips_s)
-        rem_samples = state.rem_code_phase_samples * (
-            1.0 + state.code_freq_delta / f32(cfg.chip_rate_chips_s))
-        shifts_chips = jnp.asarray(
-            np.asarray(cfg.tap_shifts_chips(), dtype=np.float32))
-        pos = (f32(self._lag_margin) + rem_samples[:, None]
-               - shifts_chips[None, :] * samples_per_chip)     # [C, K]
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - i0.astype(f32)
-
-        def read(zc, i0c, fracc):
-            def one(i, fr):
-                pair = jax.lax.dynamic_slice(zc, (i,), (2,))
-                return pair[0] * (1.0 - fr) + pair[1] * fr
-            return jax.vmap(one)(i0c, fracc)
-
-        return jax.vmap(read)(z, i0, frac)                     # [C, K]
-
-    def _epoch_step(self, samples_p, state: TrackState, base: int):
-        cfg = self.cfg
-        f32 = jnp.float32
-        Nmax = cfg.epoch_samples_max
-
-        valid = state.active & (state.start < jnp.int32(base))
-
-        # --- correlation (A.1/A.2) ---
-        # One HBM window slice covers every channel (all active channels'
-        # epoch starts lie within one code period of each other — they
-        # advance in lock-step on the epoch grid), then cheap per-channel
-        # slices within the window.
-        n_samp = samples_p.shape[0]
-        win = min(self._win, n_samp)
-        m = jnp.min(jnp.where(state.active, state.start, jnp.int32(1 << 29)))
-        m = jnp.clip(m, 0, n_samp - win)
-        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
-        off = jnp.clip(state.start - m, 0, win - Nmax)
-        segs_p = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
-        )(off)                                                 # [C, Nmax, 2]
-        segs = unpack_complex(segs_p)                          # [C, Nmax]
-        spc = f32(cfg.code_samples_per_chip)
         chip_rate = f32(cfg.chip_rate_chips_s)
-        code_freq = chip_rate + state.code_freq_delta
-        code_step = code_freq / f32(cfg.fs_hz) * spc
-        rem_code_chips = code_freq * state.rem_code_phase_samples / f32(cfg.fs_hz) * spc
-        carr_step = f32(_TWO_PI) * state.carrier_doppler_hz / f32(cfg.fs_hz)
+        t_epoch = state.cur_len.astype(f32) / f32(cfg.fs_hz)
 
-        if cfg.correlator == "fft":
-            corr = self._fft_correlate(segs, state, carr_step)
-        else:
-            code_rows = self._codes[state.prn_slot]            # [C, Lspc]
-            corr = jax.vmap(
-                multicorrelate, in_axes=(0, 0, None, 0, 0, 0, 0, None, 0)
-            )(
-                segs, code_rows, self._shifts, code_step, rem_code_chips,
-                state.rem_carr_phase_rad, carr_step, f32(0.0),
-                state.cur_len.astype(f32),
-            )                                                  # [C, K]
+        # in-loop secondary wipe-off (pilot path, start_tracking :549-660)
+        sec_chip = self._sec[state.prn_slot, jnp.minimum(
+            state.sec_idx, self._sec_len - 1)]
+        s = jnp.where(state.sec_on, sec_chip, f32(1.0))
+        corr_w = corr * s[:, None].astype(corr.dtype)
+        prompt_w = corr_w[:, cfg.prompt_index]
 
-        prompt = corr[:, cfg.prompt_index]
-        t_int = state.cur_len.astype(f32) / f32(cfg.fs_hz)
+        narrow = state.mode >= 1
+        acc = unpack_complex(state.acc_corr) + corr_w
+        cnt = state.ext_cnt + 1
+        ext_n = jnp.int32(cfg.extend_correlation_symbols)
+        boundary = narrow & (cnt >= ext_n)
+        upd = (~narrow) | boundary            # loop closes this epoch
 
-        # --- discriminators + filters (A.3/A.5, run_dll_pll :914-996) ---
+        disc = jnp.where(narrow[:, None], acc, corr_w)
+        disc_prompt = disc[:, cfg.prompt_index]
+        t_int = jnp.where(
+            narrow, cnt.astype(f32) * f32(cfg.code_period_s), t_epoch)
+
+        # --- carrier discriminators (A.3) ---
         prev_prompt = unpack_complex(state.prev_prompt)
-        carr_phase_err_cyc = pll_cloop_two_quadrant_atan(prompt) / f32(_TWO_PI)
+        costas = pll_cloop_two_quadrant_atan(disc_prompt) / f32(_TWO_PI)
+        fourq = pll_four_quadrant_atan(disc_prompt) / f32(_TWO_PI)
+        carr_phase_err_cyc = jnp.where(state.sec_on, fourq, costas)
         freq_err_hz = fll_four_quadrant_atan(
-            prev_prompt, prompt, f32(0.0), t_int
+            prev_prompt, prompt_w, f32(0.0), t_epoch
         ) / f32(_TWO_PI)
-        fll_on = state.fll_on
-        pll_in = jnp.where(fll_on, f32(0.0), carr_phase_err_cyc)
-        fll_in = jnp.where(
-            fll_on & (state.hist_count > 0), freq_err_hz, f32(0.0)
+        # narrow-mode FLL pull-in transitory: consecutive half-window
+        # accumulations sit inside one bit (flip-free) and give a
+        # +-1/(2*T_half) Hz aperture — bridges the wide->narrow Doppler
+        # hand-off past the narrow PLL's pull-in range, then hands over to
+        # the pure PLL (the narrow analogue of the reference's FLL
+        # transitory)
+        half_n = cfg.extend_correlation_symbols // 2
+        acc_half = unpack_complex(state.acc_half)
+        t_half = f32(half_n * cfg.code_period_s)
+        p2 = acc[:, cfg.prompt_index] - acc_half
+        freq_err_ext = jnp.where(
+            (jnp.abs(acc_half) > 0.0) & boundary,
+            fll_four_quadrant_atan(acc_half, p2, f32(0.0),
+                                   jnp.maximum(t_half, f32(1e-6)))
+            / f32(_TWO_PI),
+            f32(0.0),
         )
-        carr_filt, doppler = fll_pll_apply(
-            state.carr_filter, self._fllpll, fll_in, pll_in, t_int
+        # FLL-assisted PLL: both discriminators run simultaneously during
+        # the transitory (reference run_dll_pll :914-996 passes both into
+        # Tracking_FLL_PLL_filter); the PLL feedback is what regulates the
+        # cascade's rate integrator back to zero as the frequency converges
+        pll_in = carr_phase_err_cyc
+        fll_in = jnp.where(
+            state.fll_on & ~narrow & (state.hist_count > 0),
+            freq_err_hz, f32(0.0))
+        fll_in = jnp.where(narrow & state.fll_on, freq_err_ext, fll_in)
+        carr_filt_new, doppler_new = fll_pll_apply(
+            state.carr_filter, self._fllpll_select(narrow), fll_in, pll_in,
+            t_int,
         )
 
+        # --- DLL (A.3) ---
         if cfg.veml:
             code_err_chips = dll_nc_vemlp_normalized(
-                corr[:, 0], corr[:, 1], corr[:, 3], corr[:, 4]
+                disc[:, 0], disc[:, 1], disc[:, 3], disc[:, 4]
             )
         else:
-            code_err_chips = dll_nc_e_minus_l_normalized(corr[:, 0], corr[:, 2])
-        code_filt, code_err_filt = iir_apply(
-            state.code_filter, code_err_chips, self._dll_b_in, self._dll_b_out
+            code_err_chips = dll_nc_e_minus_l_normalized(disc[:, 0], disc[:, 2])
+        b_in = jnp.where(narrow[:, None], self._dll_b_in_n, self._dll_b_in)
+        b_out = jnp.where(narrow[:, None], self._dll_b_out_n, self._dll_b_out)
+        code_filt_new, code_err_filt = iir_apply(
+            state.code_filter, code_err_chips, b_in, b_out
         )
+
+        app = valid & upd
+        carr_filter = _where_tree(app, carr_filt_new, state.carr_filter)
+        code_filter = _where_tree(app, code_filt_new, state.code_filter)
+        doppler = jnp.where(app, doppler_new, state.carrier_doppler_hz)
         # carrier-aided code NCO (A.4):
         # code_freq = (1 + doppler/f_carrier)*chip_rate - code_err_filt
-        code_freq_delta = (
-            chip_rate / f32(cfg.carrier_freq_hz) * doppler - code_err_filt
+        code_freq_delta = jnp.where(
+            app,
+            chip_rate / f32(cfg.carrier_freq_hz) * doppler_new - code_err_filt,
+            state.code_freq_delta,
         )
 
         # --- NCO stepping / next block length (A.6, split precision) ---
@@ -400,26 +534,34 @@ class TrackingEngine:
         # next epoch start using the NEW step over the NEXT block, which is
         # the same recursion expressed at epoch boundaries.
 
-        # --- CN0 / lock supervision (A.7) ---
-        hist_p = jnp.concatenate(
-            [state.prompt_hist[:, 1:], pack_complex(prompt)[:, None, :]], axis=1
-        )
+        # --- CN0 / lock supervision (A.7) on loop-closure prompts: wide
+        # pushes every epoch, narrow pushes the extended prompt per window
+        # (the reference evaluates the detectors on the extended prompts in
+        # state 4 — per-epoch prompts at narrow-mode CN0 would sit below the
+        # detector thresholds by design) ---
+        push = app
+        pushed = jnp.concatenate(
+            [state.prompt_hist[:, 1:], pack_complex(disc_prompt)[:, None, :]],
+            axis=1)
+        hist_p = jnp.where(push[:, None, None], pushed, state.prompt_hist)
         hist = unpack_complex(hist_p)
-        hist_count = jnp.minimum(state.hist_count + 1, cfg.cn0_samples)
+        hist_count = jnp.minimum(
+            state.hist_count + push.astype(jnp.int32), cfg.cn0_samples)
+        push_count = state.push_count + push.astype(jnp.int32)
         hist_full = hist_count >= cfg.cn0_samples
-        cn0 = cn0_svn_estimator(hist, f32(cfg.code_period_s))
+        t_cn0 = jnp.where(
+            narrow, ext_n.astype(f32) * f32(cfg.code_period_s), t_epoch)
+        cn0 = cn0_svn_estimator(hist, t_cn0)
         carrier_lock = carrier_lock_detector(hist)
         # No phase lock exists during the FLL pull-in transitory; supervision
-        # starts once the PLL takes over (reference keeps the channel through
-        # its pull-in transitory via the wide/narrow state split, :1601) and
-        # after a grace period covering PLL pull-in transients.  The check
-        # fires once per cn0_samples NEW prompts — the reference evaluates
+        # starts once the PLL takes over.  The check fires once per
+        # cn0_samples NEW prompts — the reference evaluates
         # cn0_and_tracking_lock_status on non-overlapping buffers (:839), so
-        # max_lock_fail counts 20-symbol windows, not epochs.
-        check_now = jnp.mod(state.epochs_in_track + 1, cfg.cn0_samples) == 0
-        fail = check_now & hist_full & ~state.fll_on & (
-            state.epochs_in_track >= cfg.supervision_grace_epochs
-        ) & (
+        # max_lock_fail counts detector windows, not epochs.
+        check_now = push & hist_full & ~state.fll_on & (
+            jnp.mod(push_count, cfg.cn0_samples) == 0
+        )
+        fail = check_now & (
             (cn0 < cfg.cn0_min_dbhz) | (carrier_lock < cfg.carrier_lock_th)
         )
         ok = check_now & ~fail
@@ -431,8 +573,21 @@ class TrackingEngine:
         still_active = state.active & (lock_fail <= cfg.max_lock_fail)
 
         epochs_in_track = state.epochs_in_track + 1
-        fll_still_on = state.fll_on & (epochs_in_track < self._fll_epochs)
+        fll_still_on = state.fll_on & jnp.where(
+            narrow,
+            push_count < jnp.int32(cfg.fll_narrow_windows),
+            epochs_in_track < self._fll_epochs)
+        # narrow FLL hand-over: re-seed the cascade from the converged
+        # Doppler so the transitory's rate-integrator residue (scaled for
+        # the FLL gains) cannot drag the pure PLL off the signal
+        turnoff = narrow & state.fll_on & ~fll_still_on
+        if self._fllpll.order == 3:
+            seeded = FllPllState(w=jnp.zeros_like(doppler), x=2.0 * doppler)
+        else:
+            seeded = FllPllState(w=doppler, x=jnp.zeros_like(doppler))
+        carr_filter = _where_tree(turnoff & valid, seeded, carr_filter)
 
+        reset_acc = boundary | ~narrow
         new_state = TrackState(
             active=still_active,
             prn_slot=state.prn_slot,
@@ -442,14 +597,26 @@ class TrackingEngine:
             code_freq_delta=code_freq_delta,
             carrier_doppler_hz=doppler,
             rem_carr_phase_rad=new_rem_carr,
-            carr_filter=carr_filt,
-            code_filter=code_filt,
-            prev_prompt=pack_complex(prompt),
+            carr_filter=carr_filter,
+            code_filter=code_filter,
+            prev_prompt=pack_complex(prompt_w),
             prompt_hist=hist_p,
             hist_count=hist_count,
+            push_count=push_count,
             lock_fail=lock_fail,
             epochs_in_track=epochs_in_track,
             fll_on=fll_still_on,
+            mode=state.mode,
+            ext_cnt=jnp.where(reset_acc, 0, cnt),
+            acc_corr=jnp.where(reset_acc[:, None, None], 0.0,
+                               pack_complex(acc)),
+            acc_half=jnp.where(
+                reset_acc[:, None], 0.0,
+                jnp.where((narrow & (cnt == jnp.int32(half_n)))[:, None],
+                          pack_complex(acc[:, cfg.prompt_index]),
+                          state.acc_half)),
+            sec_on=state.sec_on,
+            sec_idx=jnp.mod(state.sec_idx + 1, self._sec_len),
         )
         merged = _where_tree(valid, new_state, state)
 
@@ -467,9 +634,173 @@ class TrackingEngine:
         )
         return merged, outputs
 
+    # ---------------- device path: per-epoch gather correlator ----------------
+
+    def _epoch_step(self, samples_p, state: TrackState, limit):
+        """One epoch: window slice + exact A.1/A.2 multicorrelator (the
+        reference's floor resampler contract) + shared loop closure."""
+        cfg = self.cfg
+        f32 = jnp.float32
+        Nmax = cfg.epoch_samples_max
+
+        valid = state.active & (state.start < jnp.int32(limit))
+
+        # One HBM window slice covers every channel (all active channels'
+        # epoch starts lie within one code period of each other — they
+        # advance in lock-step on the epoch grid), then cheap per-channel
+        # slices within the window.
+        n_samp = samples_p.shape[0]
+        win = min(self._win, n_samp)
+        m = jnp.min(jnp.where(state.active, state.start, jnp.int32(1 << 29)))
+        m = jnp.clip(m, 0, n_samp - win)
+        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
+        off = jnp.clip(state.start - m, 0, win - Nmax)
+        segs_p = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
+        )(off)                                                 # [C, Nmax, 2]
+        segs = unpack_complex(segs_p)                          # [C, Nmax]
+        spc = f32(cfg.code_samples_per_chip)
+        code_freq = f32(cfg.chip_rate_chips_s) + state.code_freq_delta
+        code_step = code_freq / f32(cfg.fs_hz) * spc
+        rem_code_chips = code_freq * state.rem_code_phase_samples / f32(cfg.fs_hz) * spc
+        carr_step = f32(_TWO_PI) * state.carrier_doppler_hz / f32(cfg.fs_hz)
+
+        code_rows = self._codes[state.prn_slot]            # [C, Lspc]
+        corr = jax.vmap(
+            multicorrelate, in_axes=(0, 0, None, 0, 0, 0, 0, None, 0)
+        )(
+            segs, code_rows, self._shifts, code_step, rem_code_chips,
+            state.rem_carr_phase_rad, carr_step, f32(0.0),
+            state.cur_len.astype(f32),
+        )                                                  # [C, K]
+        return self._loop_update(state, corr, valid)
+
+    # ---------------- device path: chunked batched-FFT correlator ----------------
+
+    def _chunk_step(self, samples_p, state: TrackState, limit):
+        """Process `chunk_epochs` epochs with ONE batched FFT correlation.
+
+        Epoch windows are predicted with the chunk-entry (frozen) NCO rates,
+        correlated as a [C, E, F] batch against the per-slot replica-template
+        FFT, then an unrolled exact per-epoch chain reads each epoch's taps
+        from the lag window at the TRUE code phase and rotates them by the
+        known frozen-vs-true carrier phase difference before closing the
+        loops.  Returns (state, TrackOutputs stacked [E, C, ...])."""
+        cfg = self.cfg
+        f32 = jnp.float32
+        E = self._chunk_epochs
+        Nmax = cfg.epoch_samples_max
+        F = self._fft_size
+        LW = self._lag_window
+        n_samp = samples_p.shape[0]
+
+        # --- predict epoch starts/lengths under frozen code frequency ---
+        delta0 = state.code_freq_delta
+        codef0 = f32(cfg.chip_rate_chips_s) + delta0
+        d_t0 = -(f32(self._t0_int) + f32(self._t0_frac)) * delta0 / codef0
+        c_step = f32(self._t0_frac) + d_t0                     # [C]
+        k = jnp.arange(E + 1, dtype=f32)                       # epoch index
+        # S[0]=start, S[1]=start+cur_len, S[k>=1]=S[1]+(k-1)*t0i+floor(rem0+(k-1)*c)
+        r = state.rem_code_phase_samples[:, None] + (k[None, :] - 1.0) * c_step[:, None]
+        s_pred = (state.start[:, None] + state.cur_len[:, None]
+                  + (k[None, :].astype(jnp.int32) - 1) * jnp.int32(self._t0_int)
+                  + jnp.floor(r).astype(jnp.int32))            # [C, E+1]
+        s_pred = jnp.concatenate(
+            [state.start[:, None], s_pred[:, 1:]], axis=1)
+        len_pred = s_pred[:, 1:] - s_pred[:, :-1]              # [C, E]
+
+        # --- one window slice per chunk, then per-(channel,epoch) segments ---
+        win = min(self._win + (E - 1) * (self._t0_int + 2), n_samp)
+        m = jnp.min(jnp.where(state.active, state.start, jnp.int32(1 << 29)))
+        m = jnp.clip(m, 0, n_samp - win)
+        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
+        off = jnp.clip(s_pred[:, :E] - m, 0, win - Nmax)       # [C, E]
+        segs_p = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
+        ))(off)                                                # [C, E, Nmax, 2]
+        segs = unpack_complex(segs_p)
+
+        # --- frozen-NCO carrier wipe-off across the chunk ---
+        step0 = f32(_TWO_PI) * state.carrier_doppler_hz / f32(cfg.fs_hz)
+        phi_k = jnp.mod(
+            state.rem_carr_phase_rad[:, None]
+            + step0[:, None] * (s_pred[:, :E] - state.start[:, None]).astype(f32),
+            f32(_TWO_PI))                                      # [C, E]
+        n = jnp.arange(Nmax, dtype=f32)
+        phase = phi_k[..., None] + step0[:, None, None] * n
+        wiped = segs * jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+        mask = n[None, None, :] < len_pred[..., None].astype(f32)
+        wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
+
+        # --- batched circular correlation, lag window only ---
+        rep_fft_conj = unpack_complex(self._rep_fft_conj_planar)[state.prn_slot]
+        z = jnp.fft.ifft(
+            jnp.fft.fft(wiped, n=F, axis=-1) * rep_fft_conj[:, None, :],
+            axis=-1)
+        zwin = z[:, :, :LW]                                    # [C, E, LW]
+
+        # --- exact per-epoch chain (unrolled; nested device loops hang the
+        #     remote compiler, CLAUDE.md) ---
+        samples_per_chip = f32(cfg.fs_hz / cfg.chip_rate_chips_s)
+        shifts_chips = jnp.asarray(
+            np.asarray(cfg.tap_shifts_chips(), dtype=np.float32))
+        lag_grid = jnp.arange(LW, dtype=f32)
+        st = state
+        dphi = jnp.zeros_like(step0)   # true-NCO phase minus frozen phase
+        outs_list = []
+        for kk in range(E):
+            valid = st.active & (st.start < jnp.int32(limit))
+            # taps at the TRUE code phase: lag position folds in the true
+            # epoch-start offset vs the predicted slice origin
+            d_s = (st.start - s_pred[:, kk]).astype(f32)
+            rem_eff = (d_s + st.rem_code_phase_samples) * (
+                1.0 + st.code_freq_delta / f32(cfg.chip_rate_chips_s))
+            pos = (f32(self._lag_margin) + rem_eff[:, None]
+                   - shifts_chips[None, :] * samples_per_chip)  # [C, K]
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(
+                pos[..., None] - lag_grid[None, None, :]))      # [C, K, LW]
+            taps = jnp.einsum("cl,ckl->ck", zwin[:, kk], w)
+            # rotate into the true-NCO frame: mean over the epoch of
+            # (phi_true - phi_frozen)
+            step_true = f32(_TWO_PI) * st.carrier_doppler_hz / f32(cfg.fs_hz)
+            dphi_mid = dphi + (step_true - step0) * 0.5 * st.cur_len.astype(f32)
+            rot = jax.lax.complex(jnp.cos(dphi_mid), -jnp.sin(dphi_mid))
+            corr = taps * rot[:, None]
+
+            prev_len = st.cur_len
+            st, out = self._loop_update(st, corr, valid)
+            # advance the frozen-vs-true phase ledger with the SAME
+            # recursion _loop_update used for rem_carr_phase (new step over
+            # the next block length) minus the frozen advance
+            step_new = f32(_TWO_PI) * st.carrier_doppler_hz / f32(cfg.fs_hz)
+            dphi_next = dphi + step_new * st.cur_len.astype(f32) \
+                - step0 * prev_len.astype(f32)
+            dphi = jnp.where(valid,
+                             jnp.mod(dphi_next + f32(np.pi), f32(_TWO_PI))
+                             - f32(np.pi),
+                             dphi)
+            outs_list.append(out)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs_list)
+        return st, stacked
+
+    # ---------------- jitted programs ----------------
+
     def _track_block_impl(self, samples, state: TrackState, *, base: int, n_epochs: int):
+        if self.cfg.correlator == "fft":
+            E = self._chunk_epochs
+            n_chunks = (n_epochs + E - 1) // E
+
+            def step(carry, _):
+                return self._chunk_step(samples, carry, jnp.int32(base))
+
+            st, outs = jax.lax.scan(step, state, None, length=n_chunks)
+            # [n_chunks, E, C, ...] -> [n_chunks*E, C, ...]
+            outs = jax.tree.map(
+                lambda a: a.reshape((n_chunks * E,) + a.shape[2:]), outs)
+            return st, outs
+
         def step(carry, _):
-            return self._epoch_step(samples, carry, base)
+            return self._epoch_step(samples, carry, jnp.int32(base))
 
         return jax.lax.scan(step, state, None, length=n_epochs)
 
@@ -478,7 +809,7 @@ class TrackingEngine:
         """Dynamic epoch loop over a device-resident capture.
 
         `limit` (traced): epochs start only while start < limit.
-        `n_epochs` (traced): loop trip count — a traced bound forces a real
+        `n_epochs` (traced): epoch budget — a traced bound forces a real
         device loop (the terminal backend unrolls static-length scans, which
         makes long-capture compiles intractable).  Outputs are written into
         preallocated [n_epochs_cap, ...] buffers.
@@ -486,7 +817,7 @@ class TrackingEngine:
         C = self.cfg.n_channels
         K = self.cfg.n_taps
         f32 = jnp.float32
-        E = self._chunk_epochs          # static inner-scan length
+        E = self._chunk_epochs          # epochs per device-loop iteration
         n_chunks_cap = (n_epochs_cap + E - 1) // E
         cap = n_chunks_cap * E
         bufs = TrackOutputs(
@@ -502,24 +833,34 @@ class TrackingEngine:
             active=jnp.zeros((cap, C), bool),
         )
 
-        # flat dynamic loop with a manually inlined body: the terminal
-        # backend hangs compiling nested control flow (scan-in-scan,
-        # scan-in-fori), so the body runs E epoch steps as straight-line
-        # code and writes their stacked outputs once — amortizing
-        # per-iteration loop overhead without nesting
-        def chunk(i, carry):
-            st, b = carry
-            outs_list = []
-            for _ in range(E):
-                st, out = self._epoch_step(samples, st, limit)
-                outs_list.append(out)
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0),
-                                   *outs_list)
-            b = jax.tree.map(
-                lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
-                    buf, o.astype(buf.dtype), i * E, 0),
-                b, stacked)
-            return st, b
+        if self.cfg.correlator == "fft":
+            def chunk(i, carry):
+                st, b = carry
+                st, stacked = self._chunk_step(samples, st, limit)
+                b = jax.tree.map(
+                    lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
+                        buf, o.astype(buf.dtype), i * E, 0),
+                    b, stacked)
+                return st, b
+        else:
+            # flat dynamic loop with a manually inlined body: the terminal
+            # backend hangs compiling nested control flow (scan-in-scan,
+            # scan-in-fori), so the body runs E epoch steps as straight-line
+            # code and writes their stacked outputs once — amortizing
+            # per-iteration loop overhead without nesting
+            def chunk(i, carry):
+                st, b = carry
+                outs_list = []
+                for _ in range(E):
+                    st, out = self._epoch_step(samples, st, limit)
+                    outs_list.append(out)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0),
+                                       *outs_list)
+                b = jax.tree.map(
+                    lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
+                        buf, o.astype(buf.dtype), i * E, 0),
+                    b, stacked)
+                return st, b
 
         n_chunks = (n_epochs + E - 1) // E
         return jax.lax.fori_loop(0, n_chunks, chunk, (state, bufs))

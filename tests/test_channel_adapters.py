@@ -4,7 +4,7 @@ GLONASS, through the uniform decoder interface."""
 import numpy as np
 import pytest
 
-from gnss_sdr_1_tpu.telemetry.beidou_dnav import encode_subframe
+from gnss_sdr_1_tpu.telemetry.beidou_dnav import encode_subframe_bits
 from gnss_sdr_1_tpu.telemetry.channel_adapters import (
     BeidouChannelDecoder,
     GlonassChannelDecoder,
@@ -17,7 +17,7 @@ from gnss_sdr_1_tpu.telemetry.gnav import (
 
 
 def test_beidou_adapter_nh_sync_and_sow():
-    sfs = [encode_subframe(k, 124800.0 + 6.0 * k) for k in (1, 2, 3)]
+    sfs = [encode_subframe_bits(k, 124800.0 + 6.0 * k) for k in (1, 2, 3)]
     bits = np.concatenate(sfs)
     amp_bits = 1.0 - 2.0 * bits
     nh = 1.0 - 2.0 * np.array([0, 0, 0, 0, 0, 1, 0, 0, 1, 1, 0, 1, 0, 1, 0,

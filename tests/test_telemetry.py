@@ -127,3 +127,63 @@ def test_lnav_subframe4_page18_iono_utc_roundtrip():
     assert (utc2.tot, utc2.wn_t) == (utc.tot, utc.wn_t)
     assert (utc2.delta_t_ls, utc2.wn_lsf, utc2.dn, utc2.delta_t_lsf) == \
         (utc.delta_t_ls, utc.wn_lsf, utc.dn, utc.delta_t_lsf)
+
+
+def test_almanac_pages_roundtrip_and_stream_decode():
+    """Subframe 4/5 almanac pages (IS-GPS-200 Table 20-VI;
+    gps_navigation_message.cc :651-area): encode pages in the frame cycle,
+    collect them via LnavDecoder.almanacs, feed warm-start prediction."""
+    from gnss_sdr_1_tpu.telemetry.lnav import GpsAlmanac
+
+    eph = _eph()
+    alms = [GpsAlmanac(prn=p, e=0.009 + 1e-4 * p, toa=303104.0,
+                       delta_i=0.01 * (p - 10) / 10.0,
+                       omega_dot=-2.5e-9 / np.pi, sv_health=0,
+                       sqrt_a=float(np.sqrt(26560e3)),
+                       omega0=-0.6 + 0.05 * p, omega=0.2, m0=0.08 * (p % 10),
+                       af0=3e-5, af1=1e-11)
+            for p in (9, 17, 25)]
+    bits = encode_lnav_frame(eph, 302400.0, n_subframes=10,
+                             subframe_cycle=(1, 2, 3, 4, 5), almanacs=alms)
+    # direct decode roundtrip
+    out = GpsEphemeris()
+    got: dict[int, GpsAlmanac] = {}
+    d29s = d30s = 0
+    for k in range(10):
+        sf = bits[k * 300 : (k + 1) * 300]
+        r = decode_subframe(sf, d29s, d30s, out, almanacs=got)
+        assert r is not None
+        d29s, d30s = int(sf[-2]), int(sf[-1])
+    assert set(got) == {9, 17, 25}
+    a = got[17]
+    t = alms[1]
+    assert a.e == pytest.approx(t.e, abs=2.0**-21)
+    assert a.toa == t.toa
+    assert a.sqrt_a == pytest.approx(t.sqrt_a, abs=2.0**-11)
+    assert a.omega0 == pytest.approx(t.omega0, abs=2.0**-23)
+    assert a.m0 == pytest.approx(t.m0, abs=2.0**-23)
+    assert a.delta_i == pytest.approx(t.delta_i, abs=2.0**-19)
+    assert a.af0 == pytest.approx(t.af0, abs=2.0**-20)
+
+    # full symbol-stream decoder collects the pages
+    sym = np.repeat(1.0 - 2.0 * bits, 20) * 120.0
+    dec = LnavDecoder(prn=7)
+    dec.push(sym, np.arange(len(sym)) * 1000)
+    assert set(dec.almanacs) == {9, 17, 25}
+
+    # almanac-only warm start predicts visibility/Doppler
+    from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef
+    from gnss_sdr_1_tpu.runtime.assistance import (
+        predict_visible, predict_visible_from_almanac)
+
+    rx = llh_to_ecef(np.radians(41.275), np.radians(1.988), 80.0)
+    vis_alm = predict_visible_from_almanac(dec.almanacs, rx, 302400.0,
+                                           min_elevation_deg=-90.0)
+    assert set(vis_alm) == {9, 17, 25}
+    # doppler from the almanac orbit matches the same orbit's ephemeris form
+    vis_eph = predict_visible(
+        {p: a.to_ephemeris() for p, a in dec.almanacs.items()}, rx, 302400.0,
+        min_elevation_deg=-90.0)
+    for p in vis_alm:
+        assert vis_alm[p]["doppler_hz"] == pytest.approx(
+            vis_eph[p]["doppler_hz"], abs=1e-6)

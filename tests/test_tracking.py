@@ -147,6 +147,126 @@ def test_tracking_fll_pull_in():
     assert abs(np.mean(o["dop"][-100:]) - td) < 5.0
 
 
+def test_chunked_fft_matches_gather():
+    """The chunked batched-FFT correlator (correlator='fft') reproduces the
+    per-epoch gather path: same loop closures, taps read from the batched
+    lag window rotated into the true-NCO frame."""
+    td, tdc = 1234.0, 400.25
+    rng = np.random.default_rng(7)
+    bits = rng.choice([-1.0, 1.0], size=80)
+    x = generate_baseband(
+        GPS_L1_CA, [SatParams(prn=3, doppler_hz=td, delay_chips=tdc,
+                              cn0_dbhz=44.0, nav_bits=bits)],
+        {3: gps_l1ca_code(3)}, FS, 1.0, noise=True, seed=9)
+    res = {}
+    for corr in ("gather", "fft"):
+        st, o = _track(x, 3, tdc / 1.023e6 * FS + 0.5, td + 40.0,
+                       correlator=corr, chunk_epochs=8)
+        assert bool(np.asarray(st.active)[0])
+        res[corr] = o
+    g, f = res["gather"], res["fft"]
+    n = min(len(g["dop"]), len(f["dop"]))
+    assert abs(np.mean(g["dop"][-100:]) - np.mean(f["dop"][-100:])) < 1.0
+    # pull-in transients may diverge by a few Hz between the two paths
+    assert np.abs(g["dop"][:n] - f["dop"][:n]).mean() < 2.5
+    assert abs(np.mean(g["cn0"][-50:]) - np.mean(f["cn0"][-50:])) < 0.5
+    assert np.abs(g["start"][:n] - f["start"][:n]).max() <= 1
+
+
+def test_extended_coherent_low_cn0():
+    """States 3/4: 20 ms coherent extension with narrow bandwidths holds a
+    30 dB-Hz signal that per-epoch narrow-threshold checks would drop
+    (dll_pll_veml_tracking.cc:1774-1900).  Bit-grid aligned windows."""
+    td, tdc, cn0 = 800.0, 512.0, 30.0
+    rng = np.random.default_rng(21)
+    bits = rng.choice([-1.0, 1.0], size=200)
+    x = generate_baseband(
+        GPS_L1_CA, [SatParams(prn=5, doppler_hz=td, delay_chips=tdc,
+                              cn0_dbhz=cn0, nav_bits=bits)],
+        {5: gps_l1ca_code(5)}, FS, 2.5, noise=True, seed=22)
+    cfg = TrackConfig(fs_hz=FS, code_length_chips=1023,
+                      chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                      n_channels=1, extend_correlation_symbols=20)
+    eng = TrackingEngine(cfg, gps_l1ca_code(5)[None, :])
+    st = eng.init_state()
+    st = eng.activate_channel(st, 0, 0, tdc / 1.023e6 * FS, td + 25.0, 0, 0)
+    base, nmax = 40000, cfg.epoch_samples_max
+    n_epochs = 0
+    dop, cn0s = [], []
+    pos = 0
+    extended = False
+    while pos + base + nmax <= len(x):
+        st, out = eng.track_block(x[pos : pos + base + nmax], st, base)
+        v = np.asarray(out.valid[:, 0])
+        dop += list(np.asarray(out.carrier_doppler_hz[:, 0])[v])
+        cn0s += list(np.asarray(out.cn0_dbhz[:, 0])[v])
+        n_epochs += int(v.sum())
+        pos += base
+        if not extended and n_epochs > 500:
+            # bit boundaries sit on epoch indices = 0 mod 20 (delay-aligned
+            # siggen); switch with the correct alignment
+            st = eng.enable_extended(st, 0, (20 - n_epochs % 20) % 20)
+            extended = True
+    assert bool(np.asarray(st.active)[0])
+    assert int(np.asarray(st.mode)[0]) == 1
+    assert abs(np.mean(dop[-200:]) - td) < 3.0
+    # CN0 estimated from the extended prompts stays near truth (the SNV
+    # estimator reads a couple of dB low from residual phase jitter at
+    # threshold SNR)
+    tail = [c for c in cn0s[-100:] if c > 0]
+    assert abs(np.mean(tail) - cn0) < 4.5
+
+
+def test_pilot_secondary_wipeoff_four_quadrant():
+    """In-loop secondary wipe-off + four-quadrant PLL (pilot path,
+    start_tracking :549-660): a channel whose epochs are modulated by NH20
+    keeps phase lock through the sign flips once sec_on is set, and the
+    extended accumulation spans secondary chips coherently."""
+    import dataclasses as _dc
+
+    from gnss_sdr_1_tpu.codes import NH20
+
+    spec = _dc.replace(GPS_L1_CA, bit_rate_bps=1000.0)  # 1 "bit"/epoch
+    td, tdc, cn0 = -450.0, 200.0, 38.0
+    sec = np.tile(NH20, 300)
+    x = generate_baseband(
+        spec, [SatParams(prn=9, doppler_hz=td, delay_chips=tdc,
+                         cn0_dbhz=cn0, nav_bits=sec)],
+        {9: gps_l1ca_code(9)}, FS, 2.0, noise=True, seed=31)
+    cfg = TrackConfig(fs_hz=FS, code_length_chips=1023,
+                      chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                      n_channels=1, extend_correlation_symbols=20)
+    eng = TrackingEngine(cfg, gps_l1ca_code(9)[None, :],
+                         sec_codes=NH20[None, :].astype(np.float32))
+    st = eng.init_state()
+    st = eng.activate_channel(st, 0, 0, tdc / 1.023e6 * FS, td - 20.0, 0, 0)
+    base, nmax = 40000, cfg.epoch_samples_max
+    n_epochs, pos, enabled = 0, 0, False
+    dop, prompts = [], []
+    while pos + base + nmax <= len(x):
+        st, out = eng.track_block(x[pos : pos + base + nmax], st, base)
+        v = np.asarray(out.valid[:, 0])
+        dop += list(np.asarray(out.carrier_doppler_hz[:, 0])[v])
+        prompts += list(np.asarray(out.correlators[:, 0, 1, 0])[v])
+        n_epochs += int(v.sum())
+        pos += base
+        if not enabled and n_epochs > 400:
+            # siggen aligns the secondary sequence to the code epoch grid:
+            # epoch k carries chip (k mod 20); boundary at k = 0 mod 20
+            st = eng.enable_extended(st, 0, (20 - n_epochs % 20) % 20,
+                                     sec_phase=n_epochs % 20)
+            enabled = True
+    assert bool(np.asarray(st.active)[0])
+    assert bool(np.asarray(st.sec_on)[0])
+    assert abs(np.mean(dop[-200:]) - td) < 3.0
+    # raw prompt signs follow the NH20 modulation (wipe-off is in-loop only)
+    tail = np.sign(prompts[-400:])
+    t0 = n_epochs - len(tail)
+    pattern = np.array([NH20[(t0 + i) % 20] for i in range(len(tail))])
+    agree = np.mean(tail * pattern > 0)
+    assert agree > 0.9 or agree < 0.1  # up to a common sign ambiguity
+
+
 def test_lock_loss_releases_channel():
     """Signal disappears -> CN0 collapses -> channel drops
     (cn0_and_tracking_lock_status analogue, A.7)."""
@@ -158,6 +278,5 @@ def test_lock_loss_releases_channel():
     x2 = ((rng.standard_normal(len(x1)) + 1j * rng.standard_normal(len(x1)))
           * np.sqrt(0.5)).astype(np.complex64)
     x = np.concatenate([x1, x2])
-    st, o = _track(x, 1, 10.0 / 1.023e6 * FS, 500.0,
-                   supervision_grace_epochs=100, max_lock_fail=20)
+    st, o = _track(x, 1, 10.0 / 1.023e6 * FS, 500.0, max_lock_fail=20)
     assert not bool(np.asarray(st.active)[0])

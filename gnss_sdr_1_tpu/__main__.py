@@ -110,6 +110,18 @@ def main(argv=None) -> int:
     print(f"Processed in {dt:.1f} s (RTF {dur / dt:.2f}x); "
           f"{len(sols)} PVT fixes")
 
+    if rcfg.positioning_mode.upper().startswith("PPP") and rx.obs_epochs:
+        ppp = rx.solve_ppp_batch()
+        if ppp.valid:
+            from .pvt.geodesy import ecef_to_llh
+            lat, lon, hgt = ecef_to_llh(ppp.rx_ecef_m)
+            print(f"PPP ({ppp.mode}): lat {np.degrees(lat):.7f} "
+                  f"lon {np.degrees(lon):.7f} h {hgt:.2f} m  "
+                  f"ztd_wet {ppp.ztd_wet_m:.3f} m  epochs {ppp.n_epochs} "
+                  f"arcs {ppp.n_arcs} sigma0 {ppp.sigma0_m:.2f} m")
+        else:
+            print("PPP: no solution (insufficient epochs/satellites)")
+
     out = pathlib.Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     if sols:

@@ -183,13 +183,19 @@ def _pcps_step2(
     x_p: jax.Array,            # [F, 2] planar
     code_fft_conj_p: jax.Array,  # [C, F, 2] planar
     doppler_center: jax.Array,  # [C] coarse Doppler per channel
+    prev_grid: jax.Array,      # [C, D2, eff] accumulated fine dwells
     step2_hz: float,
     eff: int,
     spc: int,
     n_bins2: int,
     fs_hz: float,
 ):
-    """Fine-Doppler second pass on a narrow per-channel grid (d_step_two)."""
+    """Fine-Doppler second pass on a narrow per-channel grid (d_step_two).
+
+    Accumulates non-coherently over dwells like the coarse pass — one dwell
+    window can carry a secondary-code / nav-bit sign flip (BeiDou NH20 flips
+    every code period) that splits or shifts the Doppler peak; summing
+    |corr|^2 over dwells with different flip positions restores it."""
     from ..utils.planar import unpack_complex
 
     x = unpack_complex(x_p)
@@ -203,7 +209,7 @@ def _pcps_step2(
     wipe = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     X = jnp.fft.fft(x[None, None, :] * wipe, axis=-1)          # [C, D2, F]
     z = jnp.fft.ifft(X * code_fft_conj[:, None, :], axis=-1)
-    grid = z.real[..., :eff] ** 2 + z.imag[..., :eff] ** 2
+    grid = prev_grid + z.real[..., :eff] ** 2 + z.imag[..., :eff] ** 2
     C = grid.shape[0]
     _, arg = _flat_argmax(grid.reshape(C, -1))
     d_idx = arg // eff
@@ -211,7 +217,7 @@ def _pcps_step2(
               == d_idx[:, None]).astype(jnp.float32)
     fine_doppler = jnp.sum(onehot * freqs, axis=-1)
     delay = jnp.mod(arg % eff, spc).astype(jnp.float32)
-    return delay, fine_doppler
+    return grid, (delay, fine_doppler)
 
 
 class PcpsAcquisition:
@@ -224,15 +230,24 @@ class PcpsAcquisition:
     """
 
     def __init__(self, cfg: AcqConfig, codes_by_prn: dict[int, np.ndarray],
-                 fs_code_rate: tuple[float, int] | None = None):
+                 fs_code_rate: tuple[float, int] | None = None,
+                 freq_offsets_by_prn: dict[int, float] | None = None):
         """`codes_by_prn`: PRN -> +-1 chip array (1 sample/chip).
         `fs_code_rate`: (code_rate_chips_s, code_length_chips) used to
         resample chips to fs; if None, codes are assumed pre-sampled at fs
-        with exactly cfg.samples_per_code samples."""
+        with exactly cfg.samples_per_code samples.
+        `freq_offsets_by_prn`: per-channel constant carrier offset
+        (GLONASS FDMA k*DFRQ, pcps_acquisition.cc:277-283 is_fdma()) —
+        folded into the stored replica as exp(+j*2*pi*f0*n/fs), so one
+        batched grid searches every slot's own band at zero extra cost;
+        reported Doppler stays the residual vs the slot carrier."""
         from ..codes.sampling import resample_code
 
         self.cfg = cfg
         self.prns = sorted(codes_by_prn)
+        self.freq_offsets = {
+            p: float((freq_offsets_by_prn or {}).get(p, 0.0))
+            for p in self.prns}
         F = cfg.fft_size
         sampled = []
         for prn in self.prns:
@@ -246,7 +261,11 @@ class PcpsAcquisition:
                 if len(one_period) != cfg.samples_per_code:
                     raise ValueError("pre-sampled code length mismatch")
             # coherent window = sampled_ms periods, zero-padded to fft_size
-            rep = np.tile(one_period, cfg.sampled_ms)
+            rep = np.tile(one_period, cfg.sampled_ms).astype(np.complex128)
+            f0 = self.freq_offsets[prn]
+            if f0:
+                n = np.arange(len(rep), dtype=np.float64)
+                rep = rep * np.exp(2j * np.pi * f0 * n / cfg.fs_hz)
             buf = np.zeros(F, dtype=np.complex64)
             buf[: len(rep)] = rep
             sampled.append(np.conj(np.fft.fft(buf)).astype(np.complex64))
@@ -285,16 +304,24 @@ class PcpsAcquisition:
         test_stat = stat_cfar if cfg.use_cfar else stat_ratio
 
         if cfg.make_two_steps:
-            blk = np.zeros(F, dtype=np.complex64)
-            chunk = samples[:F]
-            blk[: len(chunk)] = chunk
-            delay_j, doppler_j = _pcps_step2(
-                jnp.asarray(to_planar(blk)), self._code_fft_conj,
-                jnp.asarray(doppler, dtype=jnp.float32),
-                cfg.doppler_step2_hz, cfg.effective_size,
-                cfg.samples_per_code, cfg.num_doppler_bins_step2, cfg.fs_hz,
-            )
-            delay, doppler = jax.device_get((delay_j, doppler_j))
+            grid2 = jnp.zeros(
+                (len(self.prns), cfg.num_doppler_bins_step2,
+                 cfg.effective_size), dtype=jnp.float32)
+            doppler_c = jnp.asarray(doppler, dtype=jnp.float32)
+            fine = None
+            for dwell in range(cfg.max_dwells):
+                start = dwell * need
+                blk = np.zeros(F, dtype=np.complex64)
+                chunk = samples[start : start + F]
+                blk[: len(chunk)] = chunk
+                grid2, fine = _pcps_step2(
+                    jnp.asarray(to_planar(blk)), self._code_fft_conj,
+                    doppler_c, grid2,
+                    cfg.doppler_step2_hz, cfg.effective_size,
+                    cfg.samples_per_code, cfg.num_doppler_bins_step2,
+                    cfg.fs_hz,
+                )
+            delay, doppler = jax.device_get(fine)
 
         return AcqResult(
             positive=np.asarray(test_stat) > self._threshold,

@@ -35,6 +35,25 @@ class PvtSolution:
     residuals_m: np.ndarray | None = None
 
 
+def sat_pos_vel(eph, t: float) -> tuple[np.ndarray, np.ndarray]:
+    """Ephemeris-type dispatch: Keplerian broadcast (GPS/Galileo/BeiDou) vs
+    GLONASS state-vector + RK4 (rtklib ephpos geph branch,
+    rtklib_ephemeris.cc geph2pos)."""
+    if hasattr(eph, "tb_s"):
+        from .glonass_orbits import glonass_satpos
+
+        return glonass_satpos(eph, t)
+    return satellite_position_velocity(eph, t)
+
+
+def sat_clock(eph, t: float) -> float:
+    if hasattr(eph, "tb_s"):
+        from .glonass_orbits import glonass_clock_correction
+
+        return glonass_clock_correction(eph, t)
+    return satellite_clock_correction(eph, t)
+
+
 def _rotate_earth(pos: np.ndarray, tau: float) -> np.ndarray:
     """Rotate satellite position by earth rotation during signal flight
     (sagnac correction; ls_pvt.cc rot_satpos / rtklib earth rotation)."""
@@ -104,12 +123,12 @@ def solve_pvt(
             # estimate from the raw pseudorange
             tau = pr[i] / SPEED_OF_LIGHT_M_S - bias_i
             t_tx = rx_tow_s - bias_i - tau
-            clk = satellite_clock_correction(eph, t_tx)
+            clk = sat_clock(eph, t_tx)
             t_tx -= clk  # broadcast time -> GPS time
-            pos, vel = satellite_position_velocity(eph, t_tx)
+            pos, vel = sat_pos_vel(eph, t_tx)
             sat_pos[i] = _rotate_earth(pos, tau + clk)
             sat_vel[i] = vel
-            sat_clk[i] = satellite_clock_correction(eph, t_tx)
+            sat_clk[i] = sat_clock(eph, t_tx)
         rho = np.linalg.norm(sat_pos - xyz, axis=1)
         los = (xyz - sat_pos) / rho[:, None]
         h[:] = 0.0

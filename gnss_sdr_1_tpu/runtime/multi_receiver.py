@@ -2,14 +2,17 @@
 
 Reference parity: the hybrid receiver configurations
 (conf/gnss-sdr_GLONASS_L1_CA_GPS_L1_CA_ibyte.conf and friends, BASELINE
-configs #4-5): several per-signal channel groups over one wideband sample
-stream, observables merged into a joint PVT with one clock state per system
-(the ISB handling of rtklib_pntpos).
+configs #4-5): several per-signal channel groups, either over one wideband
+sample stream or over per-band streams from separate RF chains
+(Receiver_Chain multi-source, gnss-sdr_multisource_*.conf — config #5 is
+GPS L1 + L2C + L5 from three front-ends at different sampling rates).
 
 Design: one `Receiver` per signal group (each owns its batched acquisition
-and tracking programs), run over the shared capture; joint fixes are formed
-afterwards on the common sample clock — every group's epoch histories are
-interpolated to shared RX ticks and solved with per-system clock columns.
+and tracking programs), run over its capture; joint fixes are formed
+afterwards on the common receiver clock — all streams share the sample-0
+instant (one oscillator drives every front-end, as in the reference's
+multi-source captures), so group epochs interpolate to shared RX times and
+solve with per-system clock columns (the ISB handling of rtklib_pntpos).
 """
 
 from __future__ import annotations
@@ -18,7 +21,6 @@ import dataclasses
 
 import numpy as np
 
-from ..constants import SPEED_OF_LIGHT_M_S
 from ..observables import compute_observables
 from ..pvt.solver import PvtSolution, solve_pvt
 from .receiver import Receiver, ReceiverConfig
@@ -28,6 +30,11 @@ _SYSTEM_OF_SIGNAL = {"1C": "G", "2S": "G", "L5": "G",
                      "1G": "R", "2G": "R",
                      "B1": "C", "B3": "C"}
 
+# PRN-id offsets so satellites never collide across systems in the joint
+# solve; multi-band groups of the SAME system share the offset so the same
+# satellite seen on two bands contributes two measurements (band key bumps)
+_SYS_OFFSET = {"G": 0, "E": 100, "R": 200, "C": 300}
+
 
 @dataclasses.dataclass
 class JointSolution:
@@ -36,26 +43,38 @@ class JointSolution:
 
 
 class MultiReceiver:
-    """Run several signal groups over one sample stream and solve jointly."""
+    """Run several signal groups and solve jointly.
+
+    `process(samples)` accepts one shared array (wideband single front-end)
+    or a list with one stream per group (multi-source); per-group sampling
+    rates may differ in the multi-source case.
+    """
 
     def __init__(self, configs: list[ReceiverConfig]):
         if not configs:
             raise ValueError("need at least one ReceiverConfig")
-        fs = {c.fs_hz for c in configs}
-        if len(fs) != 1:
-            raise ValueError("all groups must share the sample stream fs")
-        self.fs_hz = fs.pop()
         self.receivers = [Receiver(c) for c in configs]
+        self.fs_hz = configs[0].fs_hz
 
-    def process(self, samples: np.ndarray,
-                obs_interval_ms: int = 20) -> list[JointSolution]:
-        """Process the capture with every group, then form joint fixes."""
-        for rx in self.receivers:
-            rx.process(samples)
+    def process(self, samples, obs_interval_ms: int = 20,
+                ) -> list[JointSolution]:
+        """Process the capture(s) with every group, then form joint fixes."""
+        if isinstance(samples, (list, tuple)):
+            if len(samples) != len(self.receivers):
+                raise ValueError("need one sample stream per group")
+            for rx, s in zip(self.receivers, samples):
+                rx.process(s)
+        else:
+            if len({r.cfg.fs_hz for r in self.receivers}) != 1:
+                raise ValueError(
+                    "shared-stream mode needs one common fs; pass per-group "
+                    "streams for multi-source configs")
+            for rx in self.receivers:
+                rx.process(samples)
         return self.joint_fixes(obs_interval_ms)
 
     def joint_fixes(self, obs_interval_ms: int = 20) -> list[JointSolution]:
-        tick = int(round(self.fs_hz * obs_interval_ms * 1e-3))
+        dt = obs_interval_ms * 1e-3
         # per group: histories of channels with complete ephemeris
         ready = []
         for rx in self.receivers:
@@ -67,43 +86,51 @@ class MultiReceiver:
             ready.append(hists)
         if sum(len(h) for h in ready) < 4:
             return []
-        start = max((min(h.start_samples[0] for h in hists.values())
-                     for hists in ready if hists), default=0)
-        stop = min((max(h.start_samples[-1] for h in hists.values())
-                    for hists in ready if hists), default=0)
+        # common covered span on the receiver clock (seconds since sample 0)
+        spans = [
+            (min(h.start_samples[0] for h in hists.values()) / rx.cfg.fs_hz,
+             max(h.start_samples[-1] for h in hists.values()) / rx.cfg.fs_hz)
+            for rx, hists in zip(self.receivers, ready) if hists
+        ]
+        start_s = max(s for s, _ in spans)
+        stop_s = min(e for _, e in spans)
         out: list[JointSolution] = []
         rx_tow = None
-        rx_tow_sample = None
-        t0 = ((start // tick) + 1) * tick
-        for rx_sample in range(t0, stop, tick):
-            ephs, prs, dops, systems = {}, {}, {}, {}
+        rx_t_anchor = None
+        t = (np.floor(start_s / dt) + 1.0) * dt
+        while t < stop_s:
+            ephs, prs, dops, freqs, systems = {}, {}, {}, {}, {}
             per_sys: dict[str, list[int]] = {}
-            for rx_i, hists in zip(self.receivers, ready):
+            for gi, (rx_i, hists) in enumerate(
+                    zip(self.receivers, ready)):
                 if not hists:
                     continue
+                fs_i = rx_i.cfg.fs_hz
+                rx_sample = int(round(t * fs_i))
                 sysid = _SYSTEM_OF_SIGNAL.get(rx_i.cfg.signal_id, "G")
                 if rx_tow is None:
                     tow_k, obs = compute_observables(
-                        hists, rx_sample, self.fs_hz, None)
+                        hists, rx_sample, fs_i, None)
                     if obs:
-                        rx_tow, rx_tow_sample = tow_k, rx_sample
+                        rx_tow, rx_t_anchor = tow_k, t
                 if rx_tow is None:
                     continue
-                tow_k = rx_tow + (rx_sample - rx_tow_sample) / self.fs_hz
-                _, obs = compute_observables(hists, rx_sample, self.fs_hz,
-                                             tow_k)
+                tow_k = rx_tow + (t - rx_t_anchor)
+                _, obs = compute_observables(hists, rx_sample, fs_i, tow_k)
                 for p, o in obs.items():
-                    # offset PRN ids per system so they never collide
-                    key = p + {"G": 0, "E": 100, "R": 200, "C": 300}[sysid]
+                    # offset PRN ids per system (+1000*group for same-system
+                    # multi-band so L1/L2/L5 of one SV all contribute)
+                    key = p + _SYS_OFFSET[sysid] + 1000 * gi
                     ephs[key] = rx_i.decoders[p].ephemeris
                     prs[key] = o.pseudorange_m
                     dops[key] = o.doppler_hz
                     systems[key] = sysid
                     per_sys.setdefault(sysid, []).append(p)
             if len(prs) >= 4 and rx_tow is not None:
-                tow_k = rx_tow + (rx_sample - rx_tow_sample) / self.fs_hz
+                tow_k = rx_tow + (t - rx_t_anchor)
                 sol = solve_pvt(ephs, prs, tow_k, dopplers_hz=dops,
                                 systems=systems)
                 if sol.valid:
                     out.append(JointSolution(sol, per_sys))
+            t += dt
         return out

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..acquire import AcqConfig, PcpsAcquisition
 from ..codes import tracking_replica
-from ..constants import SIGNALS, SignalSpec
+from ..constants import SIGNALS, SignalSpec, glonass_fdma_offset_hz
 from ..observables import ChannelEpochHistory, compute_observables
 from ..pvt.solver import PvtSolution, solve_pvt
 from ..telemetry.decoder import LnavDecoder
@@ -39,6 +39,10 @@ class ReceiverConfig:
     acq_use_cfar: bool = False
     acq_dwells: int = 2
     acq_two_steps: bool = True
+    # straddle code-boundary sign flips (nav bits; BeiDou NH20 flips every
+    # code period — this is the reference's bit_transition_flag cure,
+    # pcps_acquisition.cc set_local_code :239-273)
+    acq_bit_transition: bool = False
     acq_tong: bool = False           # Tong sequential detector
     tong_init: int = 2
     tong_max: int = 10
@@ -60,6 +64,10 @@ class ReceiverConfig:
     # per-channel satellite pinning (ChannelN.satellite=PRN, read by the
     # reference flowgraph at gnss_flowgraph.cc:1076-1090); None = dynamic
     channel_satellites: tuple = ()
+    # GLONASS FDMA: ((slot, k), ...) frequency-channel numbers, k in [-7,6]
+    # (the reference reads them from Channel.satellite + almanac,
+    # glonass_l1_signal_processing / pcps_acquisition.cc:277-283)
+    fdma_k: tuple = ()
     # pipeline
     block_ms: int = 40
     obs_interval_ms: int = 20
@@ -96,6 +104,12 @@ class Receiver:
         virtual_rate, spc_code = next(iter(replicas.values()))[1:]
         is_veml = cfg.signal_id == "1B"
 
+        # FDMA slot carrier offsets (GLONASS): per-PRN replica modulation in
+        # acquisition + per-channel NCO bias in tracking
+        self._fdma_offsets = {
+            prn: glonass_fdma_offset_hz(cfg.signal_id, k)
+            for prn, k in dict(cfg.fdma_k).items()
+        } if cfg.fdma_k else {}
         self.acq = PcpsAcquisition(
             AcqConfig(
                 fs_hz=fs,
@@ -104,6 +118,7 @@ class Receiver:
                 doppler_max_hz=cfg.doppler_max_hz,
                 doppler_step_hz=cfg.doppler_step_hz,
                 max_dwells=cfg.acq_dwells,
+                bit_transition_flag=cfg.acq_bit_transition,
                 use_cfar=cfg.acq_use_cfar,
                 threshold=cfg.acq_threshold,
                 make_two_steps=cfg.acq_two_steps,
@@ -113,7 +128,35 @@ class Receiver:
             self._codes,
             fs_code_rate=(virtual_rate,
                           spec.code_length_chips * spc_code),
+            freq_offsets_by_prn=self._fdma_offsets,
         )
+        # bit / secondary-code period in epochs — the coherent-extension
+        # alignment grid (20 ms GPS bit, NH20, CS20; NH10 on L5)
+        self._sec_period = {
+            "1C": 20, "B1": 20, "B3": 20, "5X": 20, "L5": 10}.get(
+                cfg.signal_id)
+        # in-loop secondary wipe-off tables (dll_pll_veml_tracking.cc:549-660
+        # start_tracking secondary setup): NH20 for BeiDou B1I/B3I D1, CS20
+        # for Galileo E5a-I, NH10 for GPS L5I — all data-carrying, so the
+        # Costas discriminator stays active (sec_data)
+        sec_codes = None
+        sec_data = False
+        if cfg.signal_id in ("B1", "B3"):
+            from ..telemetry.channel_adapters import BeidouChannelDecoder
+            sec_codes = np.tile(BeidouChannelDecoder._NH_AMP.astype(
+                np.float32), (len(self.acq.prns), 1))
+            sec_data = True
+        elif cfg.signal_id == "5X":
+            from ..codes.galileo_e5 import galileo_e5ai_secondary
+            sec_codes = np.tile(np.asarray(
+                galileo_e5ai_secondary(), dtype=np.float32),
+                (len(self.acq.prns), 1))
+            sec_data = True
+        elif cfg.signal_id == "L5":
+            from ..codes.gps_l5 import NH10
+            sec_codes = np.tile(np.asarray(NH10, dtype=np.float32),
+                                (len(self.acq.prns), 1))
+            sec_data = True
         self.trk = TrackingEngine(
             TrackConfig(
                 fs_hz=fs,
@@ -127,16 +170,19 @@ class Receiver:
                 dll_bw_hz=cfg.dll_bw_hz,
                 pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
                 dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
-                extend_correlation_symbols=max(
-                    1, cfg.extend_correlation_symbols),
+                extend_correlation_symbols=max(1, min(
+                    cfg.extend_correlation_symbols,
+                    self._sec_period or 10**9)),
                 enable_fll_pull_in=cfg.enable_fll_pull_in,
                 pull_in_time_s=cfg.pull_in_time_s,
                 correlator=cfg.correlator,
                 early_late_space_chips=(
                     0.15 if is_veml else cfg.early_late_space_chips),
                 very_early_late_space_chips=cfg.very_early_late_space_chips,
+                sec_data=sec_data,
             ),
             np.stack([self._codes[p] for p in self.acq.prns]),
+            sec_codes=sec_codes,
         )
         self._slot_of_prn = {p: i for i, p in enumerate(self.acq.prns)}
 
@@ -146,6 +192,7 @@ class Receiver:
         self.histories: dict[int, ChannelEpochHistory] = {}
         self.sym_count: dict[int, int] = {}
         self.last_rem: dict[int, float] = {}
+        self.last_frac: dict[int, float] = {}
         self.carrier_phase_acc: dict[int, float] = {}
         self.rx_tow_s: float | None = None
         self.rx_tow_sample: int | None = None
@@ -194,6 +241,7 @@ class Receiver:
                 self.state, ch, self._slot_of_prn[prn],
                 float(res.delay_samples[k]), float(res.doppler_hz[k]),
                 samples_abs_offset, self._pos,
+                carr_offset_hz=self._fdma_offsets.get(prn, 0.0),
             )
             # telemetry decoders per signal: LNAV (1C), I/NAV (1B);
             # CNAV/GNAV/DNAV channel wrappers follow the same interface
@@ -212,16 +260,25 @@ class Receiver:
                 from ..telemetry.channel_adapters import GlonassChannelDecoder
 
                 self.decoders[prn] = GlonassChannelDecoder(prn)
-            elif self.cfg.signal_id == "B1":
+            elif self.cfg.signal_id in ("B1", "B3"):
                 from ..telemetry.channel_adapters import BeidouChannelDecoder
 
                 self.decoders[prn] = BeidouChannelDecoder(prn)
+            elif self.cfg.signal_id == "2S":
+                from ..telemetry.channel_adapters import GpsL2ChannelDecoder
+
+                self.decoders[prn] = GpsL2ChannelDecoder(prn)
+            elif self.cfg.signal_id == "L5":
+                from ..telemetry.channel_adapters import GpsL5ChannelDecoder
+
+                self.decoders[prn] = GpsL5ChannelDecoder(prn)
             self.histories[prn] = ChannelEpochHistory()
             self.sym_count[prn] = 0
             # fractional code phase at the channel's first epoch start
             # (sub-sample pseudorange resolution in the observables)
             self.last_rem[prn] = float(
                 np.asarray(self.state.rem_code_phase_samples)[ch])
+            self.last_frac[prn] = self.last_rem[prn]
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
                      ch, prn, res.delay_samples[k], res.doppler_hz[k],
                      res.test_stat[k])
@@ -252,12 +309,25 @@ class Receiver:
             ep_dops = dops[v, ch]
             # code-period boundary = integer start + fractional code phase
             # AT that start (the device outputs rem at the NEXT start, so
-            # shift by one epoch, carrying across segments)
-            rems_next = np.asarray(outs.rem_code_phase_samples)[v, ch]
+            # shift by one epoch, carrying across segments).
+            #
+            # The device wraps rem into [0,1) and realizes the floor in the
+            # NEXT epoch length (A.6), so at each rollover exactly one epoch
+            # pairs a wrapped rem with a start that hasn't absorbed the wrap
+            # yet — a ±1-sample (≈75 m) pseudorange spike.  Reconstruct the
+            # pre-floor fraction: frac_j = rem_j − round(rem_j − rem_{j−1})
+            # (the true drift is ≪ 0.5 sample/epoch), which pairs exactly
+            # with start_{j+1}.
+            rems_next = np.asarray(
+                outs.rem_code_phase_samples, dtype=np.float64)[v, ch]
+            prev_rem = self.last_rem.get(prn, float(rems_next[0]))
+            ext = np.concatenate([[prev_rem], rems_next])
+            fracs = ext[1:] - np.round(np.diff(ext))
             rems_at = np.concatenate(
-                [[self.last_rem.get(prn, 0.0)], rems_next[:-1]])
+                [[self.last_frac.get(prn, prev_rem)], fracs[:-1]])
             if len(rems_next):
                 self.last_rem[prn] = float(rems_next[-1])
+                self.last_frac[prn] = float(fracs[-1])
             dec = self.decoders.get(prn)
             base_sym = self.sym_count[prn]
             # accumulated carrier phase integrates on host in float64
@@ -286,23 +356,37 @@ class Receiver:
                 self.channel_prn[ch] = None
 
     def _maybe_extend(self) -> None:
-        """State 2 -> 3/4 switch once telemetry reports bit sync: coherent
-        extension over extend_correlation_symbols epochs aligned to each
-        channel's bit grid, with the narrow loop bandwidths
-        (dll_pll_veml_tracking.cc:1774-1900)."""
-        n = self.cfg.extend_correlation_symbols
-        if n <= 1 or self.cfg.signal_id != "1C" or 20 % n != 0:
+        """State 2 -> 3/4 switch once telemetry reports bit / secondary
+        sync: coherent extension over extend_correlation_symbols epochs
+        aligned to each channel's bit grid, with the narrow loop bandwidths
+        (dll_pll_veml_tracking.cc:1774-1900).  For signals with a
+        data-channel secondary code (B1I NH20, E5a-I CS20) the switch also
+        enables the engine's in-loop wipe-off at the host-synced phase."""
+        n = self.trk.cfg.extend_correlation_symbols
+        sig = self.cfg.signal_id
+        period = self._sec_period
+        if n <= 1 or period is None or period % n != 0:
             return
         mode = np.asarray(self.state.mode)
         for ch, prn in enumerate(self.channel_prn):
             if prn is None or mode[ch] != 0:
                 continue
             dec = self.decoders.get(prn)
-            bit0 = getattr(dec, "bit_offset", None)
+            if sig == "1C":
+                bit0 = getattr(dec, "bit_offset", None)
+                sec_phase = None
+            else:
+                bit0 = getattr(dec, "sec_sync_offset", None)
+                if bit0 is not None:
+                    # secondary-chip index of the NEXT epoch the device
+                    # processes (harvested epochs == sym_count)
+                    sec_phase = (self.sym_count[prn] - bit0) % period
             if bit0 is None:
                 continue
-            e = (bit0 - self.sym_count[prn]) % 20
-            self.state = self.trk.enable_extended(self.state, ch, e)
+            e = (bit0 - self.sym_count[prn]) % period
+            self.state = self.trk.enable_extended(
+                self.state, ch, e,
+                sec_phase=sec_phase if sig != "1C" else None)
             log.info("ch %d PRN %d -> extended coherent (%d ms, boundary in "
                      "%d epochs)", ch, prn, n, e)
 
@@ -358,6 +442,35 @@ class Receiver:
                 if sol.valid:
                     self.solutions.append(sol)
             self._next_obs_sample += tick
+
+    def solve_ppp_batch(self):
+        """PPP over the accumulated observable epochs, selected by
+        PVT.positioning_mode=PPP_Static/PPP_Kinematic (the reference's
+        rtklib_ppp.cc pppos() chain behind rtklib_solver.cc:491) —
+        run after process() when the mode asks for it."""
+        from ..pvt.ppp import PppConfig, PppObs, solve_ppp
+
+        ephs = {p: d.ephemeris for p, d in self.decoders.items()
+                if d.ephemeris_complete}
+        iono = None
+        if self.cfg.iono_model == "broadcast":
+            for d in self.decoders.values():
+                di = getattr(d, "iono", None)
+                if di is not None and di.valid:
+                    iono = di
+                    break
+        epochs = [
+            (tow, {p: PppObs(pseudorange_m=o.pseudorange_m,
+                             carrier_phase_cycles=o.carrier_phase_cycles,
+                             cn0_dbhz=o.cn0_dbhz)
+                   for p, o in obs.items()})
+            for tow, obs in self.obs_epochs]
+        return solve_ppp(epochs, ephs, PppConfig(
+            mode=self.cfg.positioning_mode,
+            f1_hz=self.cfg.spec.carrier_freq_hz,
+            iono=iono,
+            trop_model=self.cfg.trop_model,
+            el_mask_deg=max(self.cfg.elevation_mask_deg, 7.0)))
 
     # ---------------- main loop ----------------
 

@@ -33,6 +33,12 @@ class SatParams:
     cn0_dbhz: float = 45.0
     phase_rad: float = 0.0
     nav_bits: np.ndarray | None = None   # +-1 bit stream at bit_rate; None = all +1
+    # constant baseband carrier offset (GLONASS FDMA slot k*DFRQ): rotates
+    # the carrier but does NOT dilate the code (it is not motion)
+    carrier_offset_hz: float = 0.0
+    # navigation symbol rate override (GLONASS meander stream is 100 sps
+    # while spec.bit_rate_bps is the 50 bps data rate); None = spec rate
+    bit_rate_override_bps: float | None = None
 
 
 def generate_baseband(
@@ -62,7 +68,8 @@ def generate_baseband(
         c = code[np.mod(code_idx, code_len)]
         if sat.nav_bits is not None:
             bits = np.asarray(sat.nav_bits, dtype=np.float64)
-            chips_per_bit = spec.code_rate_chips_s / spec.bit_rate_bps
+            chips_per_bit = spec.code_rate_chips_s / (
+                sat.bit_rate_override_bps or spec.bit_rate_bps)
             bit_idx = np.floor(chips / chips_per_bit).astype(np.int64)
             d = bits[np.clip(bit_idx, 0, len(bits) - 1)]
             d[bit_idx < 0] = 1.0
@@ -70,7 +77,7 @@ def generate_baseband(
             d = 1.0
         # CN0 against unit-variance complex noise: A^2 * fs / sigma^2 = cn0
         amp = np.sqrt(10.0 ** (sat.cn0_dbhz / 10.0) / fs_hz) if noise else 1.0
-        phase = (2.0 * np.pi * (sat.doppler_hz * t
+        phase = (2.0 * np.pi * ((sat.doppler_hz + sat.carrier_offset_hz) * t
                                 + 0.5 * sat.doppler_rate_hz_s * t * t
                                 + sat.doppler_rate2_hz_s2 * t * t * t / 6.0)
                  + sat.phase_rad)

@@ -241,11 +241,22 @@ class BeidouEphemeris:
 
 @dataclasses.dataclass
 class BeidouIono:
-    """D1 subframe-1 Klobuchar parameters (alpha/beta)."""
+    """D1 subframe-1 Klobuchar parameters (alpha/beta).
+
+    Exposes alpha0..3/beta0..3 like GpsIono so pvt.atmosphere's Klobuchar
+    evaluates either (Beidou_Dnav_Iono derives from Gps_Iono in the
+    reference, beidou_dnav_iono.h)."""
 
     alpha: tuple = (0.0, 0.0, 0.0, 0.0)
     beta: tuple = (0.0, 0.0, 0.0, 0.0)
     valid: bool = False
+
+    def __getattr__(self, name: str):
+        if name.startswith("alpha") and name[5:].isdigit():
+            return self.alpha[int(name[5:])]
+        if name.startswith("beta") and name[4:].isdigit():
+            return self.beta[int(name[4:])]
+        raise AttributeError(name)
 
 
 def d1_fields_for(eph: "BeidouEphemeris", fra_id: int) -> dict[str, float]:

@@ -73,6 +73,13 @@ class BeidouChannelDecoder:
             self._nh_offset = best_off
             self._bit_symbol0 = best_off
 
+    @property
+    def sec_sync_offset(self) -> int | None:
+        """Epoch index (mod 20) of the NH20 boundary once synced — the
+        receiver uses it to align the engine's extended-coherent window and
+        in-loop wipe-off phase."""
+        return None if self._bit_symbol0 is None else self._bit_symbol0 % 20
+
     def tow_at_symbol(self, symbol_idx: int):
         """SOW at a 1 ms epoch index (bits advance 20 ms each)."""
         if self._bit_symbol0 is None:
@@ -96,6 +103,124 @@ class BeidouChannelDecoder:
     def ephemeris_complete(self) -> bool:
         # subframes 1-3 decoded (beidou_dnav_navigation_message.cc
         # have_new_ephemeris gating)
+        return self._dec.ephemeris_complete
+
+    @property
+    def raw(self):
+        return self._dec
+
+
+class GpsL2ChannelDecoder:
+    """L2CM (CNAV) channel: the 20 ms code period IS the CNAV symbol, so
+    prompts feed the Viterbi/message hunter directly
+    (gps_l2c_telemetry_decoder_gs.cc symbol path).  Exposes the Keplerian
+    conversion so the common PVT plane consumes the CNAV orbit."""
+
+    def __init__(self, prn: int):
+        from .cnav import CnavDecoder
+
+        self.prn = prn
+        self._dec = CnavDecoder(prn)
+
+    def push(self, prompt_i, start_samples=None) -> None:
+        self._dec.push(np.asarray(prompt_i, dtype=np.float64))
+
+    def tow_at_symbol(self, symbol_idx: int):
+        return self._dec.tow_at_symbol(symbol_idx)
+
+    @property
+    def iono(self):
+        return self._dec.iono
+
+    @property
+    def ephemeris(self):
+        return self._dec.ephemeris.to_keplerian()
+
+    @property
+    def ephemeris_complete(self) -> bool:
+        return self._dec.ephemeris_complete
+
+    @property
+    def raw(self):
+        return self._dec
+
+
+class GpsL5ChannelDecoder:
+    """L5I (CNAV) channel: prompts arrive per 1 ms code period, modulated by
+    the NH10 secondary code; one 10 ms CNAV symbol per NH10 period
+    (100 sps).  Mirrors gps_l5_telemetry_decoder_gs.cc with the NH sync
+    host-side like the BeiDou NH20 adapter."""
+
+    def __init__(self, prn: int):
+        from ..codes.gps_l5 import NH10
+        from .cnav import CnavDecoder
+
+        self.prn = prn
+        self._nh = np.asarray(NH10, dtype=np.float64)
+        self._dec = CnavDecoder(prn)
+        self._dec.symbol_period_s = 0.01
+        self._buf: list[float] = []
+        self._offset: int | None = None
+        self._sym_epoch0: int | None = None
+
+    def push(self, prompt_i, start_samples=None) -> None:
+        self._buf.extend(np.asarray(prompt_i, dtype=np.float64))
+        if self._offset is None:
+            self._sync_secondary()
+        if self._offset is None:
+            return
+        p = np.asarray(self._buf)
+        usable = (len(p) - self._offset) // 10
+        if usable <= 0:
+            return
+        seg = p[self._offset : self._offset + usable * 10]
+        syms = (seg.reshape(usable, 10) * self._nh[None, :]).sum(axis=1)
+        self._dec.push(syms)
+        self._offset += usable * 10
+
+    def _sync_secondary(self) -> None:
+        p = np.asarray(self._buf)
+        if len(p) < 40:
+            return
+        s = np.sign(p)
+        best, best_off = 0.0, None
+        for off in range(10):
+            n = (len(p) - off) // 10
+            if n < 3:
+                continue
+            w = s[off : off + n * 10].reshape(n, 10)
+            c = np.abs((w * self._nh[None, :]).sum(axis=1)).mean()
+            if c > best:
+                best, best_off = c, off
+        if best_off is not None and best > 8.0:
+            self._offset = best_off
+            self._sym_epoch0 = best_off
+
+    @property
+    def sec_sync_offset(self) -> int | None:
+        """Epoch index (mod 10) of the NH10 boundary once synced."""
+        return None if self._sym_epoch0 is None else self._sym_epoch0 % 10
+
+    def tow_at_symbol(self, symbol_idx: int):
+        """TOW at a 1 ms epoch index (symbols advance 10 ms each)."""
+        if self._sym_epoch0 is None:
+            return None
+        sym_idx = (symbol_idx - self._sym_epoch0) / 10.0
+        tow = self._dec.tow_at_symbol(int(np.floor(sym_idx)))
+        if tow is None:
+            return None
+        return tow + 0.01 * (sym_idx - np.floor(sym_idx))
+
+    @property
+    def iono(self):
+        return self._dec.iono
+
+    @property
+    def ephemeris(self):
+        return self._dec.ephemeris.to_keplerian()
+
+    @property
+    def ephemeris_complete(self) -> bool:
         return self._dec.ephemeris_complete
 
     @property
@@ -250,6 +375,11 @@ class GalileoE5aChannelDecoder:
         if best_off is not None and best > 16.0:
             self._offset = best_off
             self._sym_epoch0 = best_off
+
+    @property
+    def sec_sync_offset(self) -> int | None:
+        """Epoch index (mod 20) of the CS20 boundary once synced."""
+        return None if self._sym_epoch0 is None else self._sym_epoch0 % 20
 
     def tow_at_symbol(self, symbol_idx: int):
         """GST TOW at a 1 ms epoch index (symbols advance 20 ms each)."""

@@ -237,7 +237,7 @@ class CnavDecoder:
     def ephemeris_complete(self) -> bool:
         return self.ephemeris.complete
 
-    def push(self, prompt_i: np.ndarray) -> None:
+    def push(self, prompt_i: np.ndarray, start_samples=None) -> None:
         """prompt_i: correlator outputs, one per symbol (sign = symbol)."""
         p = np.asarray(prompt_i, dtype=np.float64)
         scale = np.median(np.abs(p)) or 1.0
@@ -245,10 +245,14 @@ class CnavDecoder:
         self._soft.extend(soft)
         self._process()
 
+    # symbol period: 20 ms on L2CM (50 sps), 10 ms on L5I (100 sps)
+    symbol_period_s: float = 0.02
+
     def tow_at_symbol(self, symbol_idx: int) -> float | None:
         if self._tow_s is None:
             return None
-        return self._tow_s + 0.02 * (symbol_idx - self._tow_symbol)
+        return self._tow_s + self.symbol_period_s * (
+            symbol_idx - self._tow_symbol)
 
     def _process(self) -> None:
         n = len(self._soft)

@@ -58,6 +58,12 @@ class TrackConfig:
     # bit/secondary sync (Dll_Pll_Conf.extend_correlation_symbols,
     # dll_pll_veml_tracking.cc:1774-1900)
     extend_correlation_symbols: int = 20
+    # secondary-wiped channel still carries nav data (BeiDou B1I NH20,
+    # Galileo E5a-I CS20): keep the two-quadrant Costas discriminator even
+    # with sec_on — only a true pilot (dataless) channel may use the
+    # four-quadrant PLL (dll_pll_veml_tracking.cc:1004-1012 d_trk_parameters
+    # track_pilot branch)
+    sec_data: bool = False
     # epochs correlated per device-loop iteration in the chunked FFT path
     # (one batched [C*chunk, F] FFT per iteration — the TPU throughput lever)
     chunk_epochs: int = 16

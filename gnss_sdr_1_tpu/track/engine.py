@@ -108,6 +108,11 @@ class TrackState(NamedTuple):
     acc_half: jnp.ndarray          # f32 [C, 2] prompt acc at mid-window (FLL)
     sec_on: jnp.ndarray            # bool — in-loop secondary wipe active
     sec_idx: jnp.ndarray           # int32 secondary-code chip index
+    # f32 — constant per-channel carrier bias added to the NCO phase step
+    # but excluded from carrier aiding and the reported Doppler: GLONASS
+    # FDMA slot offset k*DFRQ (pcps_acquisition.cc:277-283 is_fdma(),
+    # glonass_l1_ca_dll_pll_tracking)
+    carr_offset_hz: jnp.ndarray
 
 
 class TrackOutputs(NamedTuple):
@@ -198,7 +203,7 @@ class TrackingEngine:
         # FFT, taps read at interpolated integer lags — no per-sample
         # gathers (which serialize on the TPU backend)
         self._lag_margin = 16
-        if cfg.correlator == "fft":
+        if cfg.correlator in ("fft", "mxu"):
             F = 1
             while F < cfg.epoch_samples_max + 2 * self._lag_margin:
                 F <<= 1
@@ -208,15 +213,30 @@ class TrackingEngine:
             lv = codes.shape[1]
             idx = np.mod(np.floor(a0 * (n + self._lag_margin)).astype(np.int64), lv)
             reps = codes[:, idx].astype(np.float32)         # [slots, F]
-            rep_fft_conj = np.conj(np.fft.fft(reps, axis=1)).astype(np.complex64)
-            self._rep_fft_conj_planar = jnp.asarray(
-                np.stack([rep_fft_conj.real, rep_fft_conj.imag], axis=-1))
             # static lag read window: pos = margin + rem(<2) + |shift|*s/chip
             spc_samples = cfg.fs_hz / cfg.chip_rate_chips_s
             max_shift = max(abs(s) for s in cfg.tap_shifts_chips())
             self._lag_window = int(
                 np.ceil(self._lag_margin + 4 + max_shift * spc_samples)) + 4
             self._chunk_epochs = cfg.chunk_epochs
+            if cfg.correlator == "mxu":
+                # direct MXU correlation: only lag_window lags of the
+                # circular correlation are ever read, so the FFT/IFFT pair
+                # (VPU-bound, F = next pow2 ≥ Nmax) is replaced by ONE
+                # batched matmul against a precomputed shifted-replica
+                # matrix R[s, l, n] = reps[s, (n - l) mod F] — numerically
+                # identical to ifft(fft(x)·conj(fft(reps)))[..., :LW] for
+                # zero-padded x, but it runs on the systolic array
+                LW = self._lag_window
+                Nmax = cfg.epoch_samples_max
+                ngrid = np.arange(Nmax)[None, :] - np.arange(LW)[:, None]
+                self._rep_rows = jnp.asarray(
+                    reps[:, np.mod(ngrid, F)])              # [slots, LW, Nmax]
+            else:
+                rep_fft_conj = np.conj(
+                    np.fft.fft(reps, axis=1)).astype(np.complex64)
+                self._rep_fft_conj_planar = jnp.asarray(
+                    np.stack([rep_fft_conj.real, rep_fft_conj.imag], axis=-1))
         else:
             # per-epoch gather path: small inline factor amortizes loop
             # dispatch without blowing up the compiled body
@@ -264,6 +284,7 @@ class TrackingEngine:
             acc_half=jnp.zeros((C, 2), f32),
             sec_on=jnp.zeros(C, bool),
             sec_idx=zi,
+            carr_offset_hz=zf,
         )
 
     def activate_channel(
@@ -275,6 +296,7 @@ class TrackingEngine:
         acq_doppler_hz: float,
         acq_samplestamp: int,
         block_start_abs: int,
+        carr_offset_hz: float = 0.0,
     ) -> TrackState:
         """Host-side pull-in (reference state 1, dll_pll_veml_tracking.cc
         :1568-1591): align the channel's first epoch to the next code-period
@@ -330,6 +352,8 @@ class TrackingEngine:
             acc_half=state.acc_half.at[ch].set(0.0),
             sec_on=set_at(state.sec_on, False),
             sec_idx=set_at(state.sec_idx, 0),
+            carr_offset_hz=set_at(
+                state.carr_offset_hz, float(carr_offset_hz)),
         )
 
     def enable_extended(
@@ -454,7 +478,11 @@ class TrackingEngine:
         prev_prompt = unpack_complex(state.prev_prompt)
         costas = pll_cloop_two_quadrant_atan(disc_prompt) / f32(_TWO_PI)
         fourq = pll_four_quadrant_atan(disc_prompt) / f32(_TWO_PI)
-        carr_phase_err_cyc = jnp.where(state.sec_on, fourq, costas)
+        if cfg.sec_data:
+            # wiped secondary still leaves nav-data flips on the prompt
+            carr_phase_err_cyc = costas
+        else:
+            carr_phase_err_cyc = jnp.where(state.sec_on, fourq, costas)
         freq_err_hz = fll_four_quadrant_atan(
             prev_prompt, prompt_w, f32(0.0), t_epoch
         ) / f32(_TWO_PI)
@@ -523,7 +551,10 @@ class TrackingEngine:
         next_len = (jnp.int32(self._t0_int) + frac_floor.astype(jnp.int32))
         new_rem_code = frac - frac_floor
 
-        new_carr_step = f32(_TWO_PI) * doppler / f32(cfg.fs_hz)
+        # NCO phase step includes the FDMA slot offset; aiding above and the
+        # reported Doppler stay residual (motion-only)
+        new_carr_step = f32(_TWO_PI) * (
+            doppler + state.carr_offset_hz) / f32(cfg.fs_hz)
         new_rem_carr = jnp.mod(
             state.rem_carr_phase_rad
             + new_carr_step * next_len.astype(f32),
@@ -617,6 +648,7 @@ class TrackingEngine:
                           state.acc_half)),
             sec_on=state.sec_on,
             sec_idx=jnp.mod(state.sec_idx + 1, self._sec_len),
+            carr_offset_hz=state.carr_offset_hz,
         )
         merged = _where_tree(valid, new_state, state)
 
@@ -663,7 +695,8 @@ class TrackingEngine:
         code_freq = f32(cfg.chip_rate_chips_s) + state.code_freq_delta
         code_step = code_freq / f32(cfg.fs_hz) * spc
         rem_code_chips = code_freq * state.rem_code_phase_samples / f32(cfg.fs_hz) * spc
-        carr_step = f32(_TWO_PI) * state.carrier_doppler_hz / f32(cfg.fs_hz)
+        carr_step = f32(_TWO_PI) * (
+            state.carrier_doppler_hz + state.carr_offset_hz) / f32(cfg.fs_hz)
 
         code_rows = self._codes[state.prn_slot]            # [C, Lspc]
         corr = jax.vmap(
@@ -721,7 +754,8 @@ class TrackingEngine:
         segs = unpack_complex(segs_p)
 
         # --- frozen-NCO carrier wipe-off across the chunk ---
-        step0 = f32(_TWO_PI) * state.carrier_doppler_hz / f32(cfg.fs_hz)
+        step0 = f32(_TWO_PI) * (
+            state.carrier_doppler_hz + state.carr_offset_hz) / f32(cfg.fs_hz)
         phi_k = jnp.mod(
             state.rem_carr_phase_rad[:, None]
             + step0[:, None] * (s_pred[:, :E] - state.start[:, None]).astype(f32),
@@ -733,11 +767,22 @@ class TrackingEngine:
         wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
 
         # --- batched circular correlation, lag window only ---
-        rep_fft_conj = unpack_complex(self._rep_fft_conj_planar)[state.prn_slot]
-        z = jnp.fft.ifft(
-            jnp.fft.fft(wiped, n=F, axis=-1) * rep_fft_conj[:, None, :],
-            axis=-1)
-        zwin = z[:, :, :LW]                                    # [C, E, LW]
+        if cfg.correlator == "mxu":
+            # one real batched matmul per I/Q plane on the MXU — identical
+            # math to the FFT pair below restricted to the first LW lags
+            rep_rows = self._rep_rows[state.prn_slot]          # [C, LW, Nmax]
+            zr = jnp.einsum("cen,cln->cel", wiped.real, rep_rows,
+                            preferred_element_type=jnp.float32)
+            zi = jnp.einsum("cen,cln->cel", wiped.imag, rep_rows,
+                            preferred_element_type=jnp.float32)
+            zwin = jax.lax.complex(zr, zi)                     # [C, E, LW]
+        else:
+            rep_fft_conj = unpack_complex(
+                self._rep_fft_conj_planar)[state.prn_slot]
+            z = jnp.fft.ifft(
+                jnp.fft.fft(wiped, n=F, axis=-1) * rep_fft_conj[:, None, :],
+                axis=-1)
+            zwin = z[:, :, :LW]                                # [C, E, LW]
 
         # --- exact per-epoch chain (unrolled; nested device loops hang the
         #     remote compiler, CLAUDE.md) ---
@@ -762,7 +807,8 @@ class TrackingEngine:
             taps = jnp.einsum("cl,ckl->ck", zwin[:, kk], w)
             # rotate into the true-NCO frame: mean over the epoch of
             # (phi_true - phi_frozen)
-            step_true = f32(_TWO_PI) * st.carrier_doppler_hz / f32(cfg.fs_hz)
+            step_true = f32(_TWO_PI) * (
+                st.carrier_doppler_hz + st.carr_offset_hz) / f32(cfg.fs_hz)
             dphi_mid = dphi + (step_true - step0) * 0.5 * st.cur_len.astype(f32)
             rot = jax.lax.complex(jnp.cos(dphi_mid), -jnp.sin(dphi_mid))
             corr = taps * rot[:, None]
@@ -772,7 +818,8 @@ class TrackingEngine:
             # advance the frozen-vs-true phase ledger with the SAME
             # recursion _loop_update used for rem_carr_phase (new step over
             # the next block length) minus the frozen advance
-            step_new = f32(_TWO_PI) * st.carrier_doppler_hz / f32(cfg.fs_hz)
+            step_new = f32(_TWO_PI) * (
+                st.carrier_doppler_hz + st.carr_offset_hz) / f32(cfg.fs_hz)
             dphi_next = dphi + step_new * st.cur_len.astype(f32) \
                 - step0 * prev_len.astype(f32)
             dphi = jnp.where(valid,
@@ -786,7 +833,7 @@ class TrackingEngine:
     # ---------------- jitted programs ----------------
 
     def _track_block_impl(self, samples, state: TrackState, *, base: int, n_epochs: int):
-        if self.cfg.correlator == "fft":
+        if self.cfg.correlator in ("fft", "mxu"):
             E = self._chunk_epochs
             n_chunks = (n_epochs + E - 1) // E
 
@@ -833,7 +880,7 @@ class TrackingEngine:
             active=jnp.zeros((cap, C), bool),
         )
 
-        if self.cfg.correlator == "fft":
+        if self.cfg.correlator in ("fft", "mxu"):
             def chunk(i, carry):
                 st, b = carry
                 st, stacked = self._chunk_step(samples, st, limit)

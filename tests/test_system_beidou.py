@@ -20,7 +20,10 @@ from gnss_sdr_1_tpu.siggen.generator import generate_baseband
 from gnss_sdr_1_tpu.siggen.scenario import build_scenario
 
 FS = 4.092e6
-DURATION = 22.0
+# D1 cold start worst-case: the first subframe is clipped (rx starts 1.25 s
+# into it), so subframes 2,3,1 complete at rx ~22.8 s — 22 s was short by a
+# subframe and decoded 0 ephemerides (round-2 VERDICT Weak #1)
+DURATION = 24.0
 
 
 @pytest.fixture(scope="module")
@@ -43,16 +46,24 @@ def beidou_run():
     codes = {p: beidou_b1i_code(p) for p in prns}
     cache = pathlib.Path("/tmp/gnss_sdr_tpu_testcache")
     cache.mkdir(exist_ok=True)
-    key = cache / f"sysbds_{FS:.0f}_{DURATION:.0f}_v1.npy"
+    key = cache / f"sysbds_{FS:.0f}_{DURATION:.0f}_v2.npy"
     if key.exists():
         x = np.load(key)
     else:
         x = generate_baseband(spec, scen.sats, codes, FS, DURATION,
                               noise=True)
         np.save(key, x)
+    # NH20 flips the B1I sign every code period, so a one-period correlation
+    # window straddles an NH edge at the code boundary and smears/shifts the
+    # Doppler peak by hundreds of Hz.  bit_transition_flag correlates TWO
+    # code periods of data against one zero-padded replica — the lag at the
+    # true delay then spans exactly one transmitted code period (one NH
+    # chip, constant sign).  This is the reference's B1I acquisition cure
+    # (pcps_acquisition.cc set_local_code :239-273).
     cfg = ReceiverConfig(
         fs_hz=FS, signal_id="B1", n_channels=5, prn_search=tuple(prns),
-        acq_dwells=3, pll_bw_hz=18.0, dll_bw_hz=2.0)
+        acq_dwells=3, acq_bit_transition=True,
+        pll_bw_hz=18.0, dll_bw_hz=2.0)
     rx = Receiver(cfg)
     sols = rx.process(x)
     return scen, rx, sols

@@ -75,6 +75,20 @@ def test_velocity_and_clock(e2e_run):
     assert abs(sols[-1].rx_clock_bias_s) < 0.03
 
 
+def test_ppp_static_on_receiver_observables(e2e_run):
+    """PVT.positioning_mode=PPP_Static over the receiver's own code+carrier
+    observables (rtklib_solver.cc:491 mode dispatch analogue).  The siggen
+    scenario has no atmosphere, so the batch estimator's wet-ZTD term must
+    absorb the dry a-priori; the fix should be at least as good as the
+    single-point bar (3D < 5 m)."""
+    scen, rx, sols = e2e_run
+    rx.cfg.positioning_mode = "PPP_Static"
+    ppp = rx.solve_ppp_batch()
+    assert ppp.valid
+    err = np.linalg.norm(ppp.rx_ecef_m - scen.rx_ecef)
+    assert err < 5.0, f"PPP_Static 3D error {err:.2f} m"
+
+
 def test_ephemeris_recovered(e2e_run):
     scen, rx, sols = e2e_run
     n_complete = sum(

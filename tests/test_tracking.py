@@ -173,6 +173,35 @@ def test_chunked_fft_matches_gather():
     assert np.abs(g["start"][:n] - f["start"][:n]).max() <= 1
 
 
+def test_chunked_mxu_matches_fft():
+    """correlator='mxu' (direct shifted-replica matmul on the lag window) is
+    numerically the same correlation as the FFT pair restricted to the first
+    lag_window lags — identical loop closures to float32 rounding."""
+    td, tdc = -987.0, 222.75
+    rng = np.random.default_rng(11)
+    bits = rng.choice([-1.0, 1.0], size=80)
+    x = generate_baseband(
+        GPS_L1_CA, [SatParams(prn=5, doppler_hz=td, delay_chips=tdc,
+                              cn0_dbhz=44.0, nav_bits=bits)],
+        {5: gps_l1ca_code(5)}, FS, 1.0, noise=True, seed=13)
+    res = {}
+    for corr in ("fft", "mxu"):
+        st, o = _track(x, 5, tdc / 1.023e6 * FS + 0.5, td + 40.0,
+                       correlator=corr, chunk_epochs=8)
+        assert bool(np.asarray(st.active)[0])
+        res[corr] = o
+    f, m = res["fft"], res["mxu"]
+    n = min(len(f["dop"]), len(m["dop"]))
+    assert n > 900
+    # same math, different op order: float32-rounding-level agreement
+    np.testing.assert_allclose(f["dop"][:n], m["dop"][:n], atol=0.2)
+    assert np.abs(np.asarray(f["start"][:n])
+                  - np.asarray(m["start"][:n])).max() <= 1
+    np.testing.assert_allclose(
+        np.abs(np.asarray(f["corr"][:n])),
+        np.abs(np.asarray(m["corr"][:n])), rtol=2e-3, atol=2.0)
+
+
 def test_extended_coherent_low_cn0():
     """States 3/4: 20 ms coherent extension with narrow bandwidths holds a
     30 dB-Hz signal that per-epoch narrow-threshold checks would drop

@@ -35,6 +35,14 @@ def main(argv=None) -> int:
     ap.add_argument("--out_dir", default=".", help="output directory")
     ap.add_argument("--platform", default=None, help="jax platform override")
     ap.add_argument("--doppler_max", type=float, default=None)
+    ap.add_argument("--telecommand_port", type=int, default=None,
+                    help="start the TcpCmdInterface on this port")
+    ap.add_argument("--monitor_port", type=int, default=None,
+                    help="stream Gnss_Synchro records to this UDP port")
+    ap.add_argument("--pvt_monitor_port", type=int, default=None,
+                    help="stream PVT solutions to this UDP port")
+    ap.add_argument("--assist", default=None,
+                    help="A-GNSS assistance JSON (runtime.assistance store)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -102,9 +110,37 @@ def main(argv=None) -> int:
               f"resampler {frontend.resampler_impl}")
         samples = frontend.process(samples)
 
+    if args.monitor_port:
+        rcfg = type(rcfg)(**{**rcfg.__dict__, "enable_monitor": True,
+                             "monitor_port": args.monitor_port})
+    if args.pvt_monitor_port:
+        rcfg = type(rcfg)(**{**rcfg.__dict__, "enable_pvt_monitor": True,
+                             "pvt_monitor_port": args.pvt_monitor_port})
+
     rx = Receiver(rcfg)
+    if args.assist:
+        from .runtime.assistance import load_assistance
+
+        a_ephs, a_llh, a_tow = load_assistance(args.assist)
+        if a_ephs and a_llh is not None and a_tow is not None:
+            from .pvt.geodesy import llh_to_ecef
+
+            n_vis = rx.set_assistance(
+                a_ephs, llh_to_ecef(np.radians(a_llh[0]),
+                                    np.radians(a_llh[1]), a_llh[2]), a_tow)
+            print(f"A-GNSS: {n_vis} satellites predicted visible")
+    tcmd = None
+    if args.telecommand_port:
+        from .runtime.telecommand import TelecommandServer
+
+        tcmd = TelecommandServer(rx, port=args.telecommand_port)
+        print(f"Telecommand listening on port {tcmd.start()}")
     t0 = time.time()
-    sols = rx.process(samples)
+    try:
+        sols = rx.process(samples)
+    finally:
+        if tcmd is not None:
+            tcmd.stop()
     dt = time.time() - t0
     dur = src.n_samples / rcfg.fs_hz
     print(f"Processed in {dt:.1f} s (RTF {dur / dt:.2f}x); "
@@ -142,19 +178,28 @@ def main(argv=None) -> int:
             week = next((d.ephemeris.week for d in rx.decoders.values()
                          if d.ephemeris_complete), 0) + 2048
             obs_txt = [printers.rinex_obs_header(
-                approx_xyz=sols[-1].rx_ecef_m)]
+                approx_xyz=sols[-1].rx_ecef_m,
+                signals=(rcfg.signal_id,),
+                glonass_slots=dict(rcfg.fdma_k) or None)]
             for tow, obs in rx.obs_epochs:
                 obs_txt.append(printers.rinex_obs_epoch(week, tow, {
                     p: {"pseudorange_m": o.pseudorange_m,
                         "carrier_phase_cycles": o.carrier_phase_cycles,
                         "doppler_hz": o.doppler_hz,
                         "cn0_dbhz": o.cn0_dbhz}
-                    for p, o in obs.items()}))
+                    for p, o in obs.items()}, signal=rcfg.signal_id))
             (out / "observables.rnx").write_text("".join(obs_txt))
-        ephs = {p: d.ephemeris for p, d in rx.decoders.items()
-                if d.ephemeris_complete}
+        # nav records use each system's NATIVE broadcast model (the Galileo
+        # adapter converts to Keplerian for the solver; RINEX wants I/NAV)
+        ephs = {p: (d.raw.ephemeris if rcfg.signal_id == "1B"
+                    else d.ephemeris)
+                for p, d in rx.decoders.items() if d.ephemeris_complete}
         if ephs:
-            nav = printers.rinex_nav_header() + "".join(
+            iono = next((getattr(d, "iono", None)
+                         for d in rx.decoders.values()
+                         if getattr(getattr(d, "iono", None), "valid",
+                                    False)), None)
+            nav = printers.rinex_nav_header(iono=iono) + "".join(
                 printers.rinex_nav_record(e) for e in ephs.values())
             (out / "brdc.rnx").write_text(nav)
         # RTCM 3.2 stream: station + ephemerides + MSM7 epochs

@@ -29,8 +29,15 @@ class FileSignalSource:
     def __post_init__(self) -> None:
         self.fmt: SampleFormat = FORMATS[self.item_type]
         n_bytes = os.path.getsize(self.path)
-        self._file_samples = n_bytes // self.fmt.bytes_per_sample
-        self._raw = np.memmap(self.path, dtype=self.fmt.dtype, mode="r")
+        self._file_samples = int(n_bytes / self.fmt.bytes_per_sample)
+        # tolerate trailing partial items (real captures sometimes carry a
+        # truncated tail, e.g. NT1065_GLONASS_..._4ms.bin ends 4 bytes
+        # short of a gr_complex boundary) — memmap only whole items
+        item_bytes = np.dtype(self.fmt.dtype).itemsize
+        n_items = (n_bytes // item_bytes) \
+            // self.fmt.items_per_sample * self.fmt.items_per_sample
+        self._raw = np.memmap(self.path, dtype=self.fmt.dtype, mode="r",
+                              shape=(n_items,))
 
     @property
     def n_samples(self) -> int:
@@ -47,6 +54,13 @@ class FileSignalSource:
         stop = min(start + count, self.skip_samples + self.n_samples)
         if stop <= start:
             return np.empty(0, dtype=np.complex64)
+        spi = self.fmt.samples_per_item
+        if spi > 1:
+            # sub-byte packing: read whole items, trim to the sample range
+            i0 = start // spi
+            i1 = (stop + spi - 1) // spi
+            x = convert_to_complex64(np.asarray(self._raw[i0:i1]), self.fmt)
+            return x[start - i0 * spi : start - i0 * spi + (stop - start)]
         ipc = self.fmt.items_per_sample
         raw = self._raw[start * ipc : stop * ipc]
         return convert_to_complex64(np.asarray(raw), self.fmt)

@@ -15,9 +15,13 @@ from .sharding import (
     replicate,
     time_mesh,
     halo_exchange_blocks,
+    init_distributed,
+    host_channel_mesh,
+    shard_host_channel_tree,
 )
 
 __all__ = [
     "channel_mesh", "shard_channel_tree", "replicate", "time_mesh",
-    "halo_exchange_blocks",
+    "halo_exchange_blocks", "init_distributed", "host_channel_mesh",
+    "shard_host_channel_tree",
 ]

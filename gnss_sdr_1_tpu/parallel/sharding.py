@@ -65,3 +65,64 @@ def halo_exchange_blocks(blocks: jax.Array, halo: int, axis_name: str = "time"):
     perm = [(i, (i - 1) % n) for i in range(n)]
     recv = jax.lax.ppermute(head, axis_name, perm)
     return jnp.concatenate([blocks, recv], axis=0)
+
+
+# ---------------- multi-host distribution (SURVEY §2.14) ----------------
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Initialize jax.distributed for multi-host runs.
+
+    Called once per host before any device use.  Arguments default from the
+    standard environment (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID, or the TPU pod metadata JAX autodetects).  Returns True
+    if a multi-process runtime was initialized, False for the common
+    single-host case (no coordinator configured) — callers proceed with the
+    local devices either way, so single-host code paths are unchanged.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None and num_processes is None:
+        return False
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    elif os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None:
+        kw["process_id"] = process_id
+    elif os.environ.get("JAX_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    return True
+
+
+def host_channel_mesh() -> Mesh:
+    """('host', 'channel') mesh over ALL processes' devices: channels shard
+    across hosts first (the independent axis rides DCN without collectives
+    in the hot loop — observables fan-in is host-side), then across each
+    host's local chips over ICI."""
+    devs = np.asarray(jax.devices())
+    n_proc = max(1, getattr(jax, "process_count", lambda: 1)())
+    local = len(devs) // n_proc
+    return Mesh(devs.reshape(n_proc, local), ("host", "channel"))
+
+
+def shard_host_channel_tree(tree, mesh: Mesh):
+    """Shard leading (channel) axes over BOTH mesh axes flattened —
+    channels distribute over host x local-device."""
+    total = mesh.shape["host"] * mesh.shape["channel"]
+
+    def put(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % total == 0:
+            spec = P(("host", "channel"), *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)

@@ -65,7 +65,9 @@ def az_el(rx_xyz: np.ndarray, sat_xyz: np.ndarray) -> tuple[float, float]:
 def dops(h_geometry: np.ndarray, rx_xyz: np.ndarray) -> dict[str, float]:
     """GDOP/PDOP/HDOP/VDOP/TDOP from the LS geometry matrix (rows = unit
     LOS + clock column)."""
-    q = np.linalg.inv(h_geometry.T @ h_geometry)
+    # pinv: degenerate geometries (repeated lines of sight from multi-band
+    # measurements of one SV) must degrade DOPs, not raise
+    q = np.linalg.pinv(h_geometry.T @ h_geometry)
     lat, lon, _ = ecef_to_llh(rx_xyz)
     r = enu_matrix(lat, lon)
     qp = r @ q[:3, :3] @ r.T

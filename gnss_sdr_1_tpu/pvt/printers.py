@@ -1,9 +1,11 @@
 """PVT output formats: RINEX observation/navigation, NMEA, KML, GPX, GeoJSON.
 
 Reference parity: src/algorithms/PVT/libs/rinex_printer.cc (RINEX 3.02
-subset: obs + nav for GPS), nmea_printer.cc (GPGGA/GPRMC), kml_printer.cc,
-gpx_printer.cc, geojson_printer.cc.  Scoped per SURVEY.md §7: RINEX obs+nav
-first, full multi-constellation headers and RTCM later rounds.
+multi-constellation obs + nav: GPS LNAV/CNAV, Galileo I/NAV, BeiDou D1,
+GLONASS GNAV state vectors — rinex_printer.cc:850 obs headers, :964 nav
+headers with iono/UTC corrections, :1186 per-system records),
+nmea_printer.cc (GPGGA/GPRMC), kml_printer.cc, gpx_printer.cc,
+geojson_printer.cc.
 """
 
 from __future__ import annotations
@@ -35,8 +37,27 @@ def _rnx(x: float, width: int = 19, dec: int = 12) -> str:
     return f"{mant}D{int(exp):+03d}".rjust(width)
 
 
+# obs codes per signal id (RINEX 3.02 Table A2 / rinex_printer.cc obs-type
+# selection): 4 observables (code, phase, doppler, CN0) per tracked signal
+_OBS_CODES = {
+    "1C": ("G", ("C1C", "L1C", "D1C", "S1C")),
+    "2S": ("G", ("C2S", "L2S", "D2S", "S2S")),
+    "L5": ("G", ("C5I", "L5I", "D5I", "S5I")),
+    "1B": ("E", ("C1B", "L1B", "D1B", "S1B")),
+    "5X": ("E", ("C5I", "L5I", "D5I", "S5I")),
+    "1G": ("R", ("C1C", "L1C", "D1C", "S1C")),
+    "2G": ("R", ("C2C", "L2C", "D2C", "S2C")),
+    "B1": ("C", ("C2I", "L2I", "D2I", "S2I")),
+    "B3": ("C", ("C6I", "L6I", "D6I", "S6I")),
+}
+
+
 def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
-                     approx_xyz: np.ndarray | None = None) -> str:
+                     approx_xyz: np.ndarray | None = None,
+                     signals: tuple[str, ...] = ("1C",),
+                     glonass_slots: dict[int, int] | None = None) -> str:
+    """RINEX 3.02 observation header with per-system SYS / # OBS TYPES
+    lines and GLONASS SLOT/FRQ numbers (rinex_printer.cc:850)."""
     out = io.StringIO()
     out.write(f"{'3.02':>9}{'':11}{'OBSERVATION DATA':<20}{'M: MIXED':<20}"
               "RINEX VERSION / TYPE\n")
@@ -45,23 +66,39 @@ def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
     if approx_xyz is not None:
         out.write(f"{approx_xyz[0]:14.4f}{approx_xyz[1]:14.4f}"
                   f"{approx_xyz[2]:14.4f}{'':18}APPROX POSITION XYZ\n")
-    out.write(f"G    4 C1C L1C D1C S1C{'':38}SYS / # / OBS TYPES\n")
+    by_sys: dict[str, list[str]] = {}
+    for sig in signals:
+        sysl, codes = _OBS_CODES[sig]
+        by_sys.setdefault(sysl, []).extend(codes)
+    for sysl in sorted(by_sys):
+        codes = by_sys[sysl]
+        body = " ".join(codes)
+        out.write(f"{sysl}  {len(codes):4d} {body:<52}"
+                  "SYS / # / OBS TYPES\n")
+    if glonass_slots:
+        ents = "".join(f" R{s:02d} {k:2d}" for s, k in
+                       sorted(glonass_slots.items()))
+        out.write(f"{len(glonass_slots):3d}{ents:<57}GLONASS SLOT / FRQ #\n")
     out.write(f"{'':60}END OF HEADER\n")
     return out.getvalue()
 
 
 def rinex_obs_epoch(week: int, tow_s: float,
-                    observations: dict[int, dict]) -> str:
+                    observations: dict[int, dict],
+                    signal: str = "1C") -> str:
     """One observation epoch.  observations: prn -> {pseudorange_m,
-    carrier_phase_cycles, doppler_hz, cn0_dbhz}."""
+    carrier_phase_cycles, doppler_hz, cn0_dbhz}; the satellite letter comes
+    from `signal` (multi-signal epochs: pass keys ('1B', prn) etc.)."""
     t = gps_time_to_utc(week, tow_s)
     out = io.StringIO()
     out.write(f"> {t.year:4d} {t.month:02d} {t.day:02d} {t.hour:02d} "
               f"{t.minute:02d}{t.second + t.microsecond/1e6:11.7f}  0"
               f"{len(observations):3d}\n")
-    for prn in sorted(observations):
-        o = observations[prn]
-        out.write(f"G{prn:02d}"
+    for key in sorted(observations, key=str):
+        sig, prn = key if isinstance(key, tuple) else (signal, key)
+        sysl = _OBS_CODES[sig][0]
+        o = observations[key]
+        out.write(f"{sysl}{prn:02d}"
                   f"{o.get('pseudorange_m', 0.0):14.3f}  "
                   f"{o.get('carrier_phase_cycles', 0.0):14.3f}  "
                   f"{o.get('doppler_hz', 0.0):14.3f}  "
@@ -69,23 +106,79 @@ def rinex_obs_epoch(week: int, tow_s: float,
     return out.getvalue()
 
 
-def rinex_nav_header() -> str:
+def rinex_nav_header(iono=None, leap_s: int = 18) -> str:
+    """Mixed-GNSS nav header with Klobuchar iono corrections when
+    available (rinex_printer.cc:964 IONOSPHERIC CORR / LEAP SECONDS)."""
     out = io.StringIO()
-    out.write(f"{'3.02':>9}{'':11}{'N: GNSS NAV DATA':<20}{'G: GPS':<20}"
+    out.write(f"{'3.02':>9}{'':11}{'N: GNSS NAV DATA':<20}{'M: MIXED':<20}"
               "RINEX VERSION / TYPE\n")
     out.write(f"{'gnss-sdr-1-tpu':<20}{'':40}PGM / RUN BY / DATE\n")
+    if iono is not None and getattr(iono, "valid", False):
+        a = "".join(f"{getattr(iono, f'alpha{k}'): 12.4E}" for k in range(4))
+        b = "".join(f"{getattr(iono, f'beta{k}'): 12.4E}" for k in range(4))
+        out.write(f"GPSA {a:<55}IONOSPHERIC CORR\n")
+        out.write(f"GPSB {b:<55}IONOSPHERIC CORR\n")
+    out.write(f"{leap_s:6d}{'':54}LEAP SECONDS\n")
     out.write(f"{'':60}END OF HEADER\n")
     return out.getvalue()
 
 
-def rinex_nav_record(eph: GpsEphemeris) -> str:
-    """One GPS LNAV broadcast record (8 lines, RINEX 3.02)."""
-    t = gps_time_to_utc(eph.week + 2048, eph.toc, leap_s=0)
-    out = io.StringIO()
-    out.write(f"G{eph.prn:02d} {t.year:4d} {t.month:02d} {t.day:02d} "
+def _nav_rows(out, sysl, prn, t, clock3, rows):
+    out.write(f"{sysl}{prn:02d} {t.year:4d} {t.month:02d} {t.day:02d} "
               f"{t.hour:02d} {t.minute:02d} {t.second:02d}"
-              f"{_rnx(eph.af0)}{_rnx(eph.af1)}{_rnx(eph.af2)}\n")
-    rows = [
+              + "".join(_rnx(float(v)) for v in clock3) + "\n")
+    for row in rows:
+        out.write("    " + "".join(_rnx(float(v)) for v in row) + "\n")
+
+
+_BDT_EPOCH = datetime.datetime(2006, 1, 1, tzinfo=datetime.timezone.utc)
+_GLO_NT_EPOCH = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc)
+
+
+def rinex_nav_record(eph) -> str:
+    """One broadcast record, dispatched on the ephemeris type:
+    GPS LNAV/CNAV (Keplerian), Galileo I/NAV, BeiDou D1, GLONASS state
+    vector (rinex_printer.cc:1186 per-system nav writers)."""
+    out = io.StringIO()
+    if hasattr(eph, "tb_s"):               # GLONASS (4-line state vector)
+        day = _GLO_NT_EPOCH + datetime.timedelta(
+            days=max(int(eph.nt_days) - 1, 0), seconds=eph.tb_s)
+        _nav_rows(out, "R", eph.slot, day,
+                  (-eph.tau_n_s, eph.gamma_n, eph.tk_s),
+                  [(eph.x_km, eph.vx_kms, eph.ax_kms2, eph.health_bn),
+                   (eph.y_km, eph.vy_kms, eph.ay_kms2, eph.freq_channel),
+                   (eph.z_km, eph.vz_kms, eph.az_kms2, 0.0)])
+        return out.getvalue()
+    if hasattr(eph, "iod_nav"):            # Galileo I/NAV
+        t = gps_time_to_utc(eph.wn + 1024, eph.toc, leap_s=0)
+        _nav_rows(out, "E", eph.prn, t, (eph.af0, eph.af1, eph.af2), [
+            (eph.iod_nav, eph.crs, eph.delta_n * np.pi, eph.m0 * np.pi),
+            (eph.cuc, eph.e, eph.cus, eph.sqrt_a),
+            (eph.toe, eph.cic, eph.omega0 * np.pi, eph.cis),
+            (eph.i0 * np.pi, eph.crc, eph.omega * np.pi,
+             eph.omega_dot * np.pi),
+            (eph.idot * np.pi, 513.0, float(eph.wn + 1024), 0.0),
+            (3.12, 0.0, 0.0, 0.0),          # SISA, health, BGD E5a, E5b
+            (0.0, 0.0, 0.0, 0.0),
+        ])
+        return out.getvalue()
+    if getattr(eph, "system", "G") == "C" or hasattr(eph, "sat_h1"):
+        # BeiDou D1 (BDT timescale: week 0 at 2006-01-01)
+        t = _BDT_EPOCH + datetime.timedelta(weeks=eph.week, seconds=eph.toc)
+        _nav_rows(out, "C", eph.prn, t, (eph.af0, eph.af1, eph.af2), [
+            (eph.iode, eph.crs, eph.delta_n * np.pi, eph.m0 * np.pi),
+            (eph.cuc, eph.e, eph.cus, eph.sqrt_a),
+            (eph.toe, eph.cic, eph.omega0 * np.pi, eph.cis),
+            (eph.i0 * np.pi, eph.crc, eph.omega * np.pi,
+             eph.omega_dot * np.pi),
+            (eph.idot * np.pi, 0.0, float(eph.week), 0.0),
+            (2.0, float(eph.sat_h1), eph.tgd, getattr(eph, "tgd2", 0.0)),
+            (0.0, float(eph.iodc), 0.0, 0.0),
+        ])
+        return out.getvalue()
+    # GPS LNAV / CNAV-converted Keplerian
+    t = gps_time_to_utc(eph.week + 2048, eph.toc, leap_s=0)
+    _nav_rows(out, "G", eph.prn, t, (eph.af0, eph.af1, eph.af2), [
         (eph.iode, eph.crs, eph.delta_n * np.pi, eph.m0 * np.pi),
         (eph.cuc, eph.e, eph.cus, eph.sqrt_a),
         (eph.toe, eph.cic, eph.omega0 * np.pi, eph.cis),
@@ -93,9 +186,7 @@ def rinex_nav_record(eph: GpsEphemeris) -> str:
         (eph.idot * np.pi, 1.0, float(eph.week + 2048), 0.0),
         (2.0, float(eph.sv_health), eph.tgd, float(eph.iodc)),
         (0.0, 4.0, 0.0, 0.0),
-    ]
-    for row in rows:
-        out.write("    " + "".join(_rnx(float(v)) for v in row) + "\n")
+    ])
     return out.getvalue()
 
 

@@ -208,4 +208,14 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
             "PVT.trop_model", "OFF")).lower().startswith("saas") else "off"),
         elevation_mask_deg=float(conf.property("PVT.elevation_mask", 5.0)),
         positioning_mode=str(conf.property("PVT.positioning_mode", "Single")),
+        # monitor taps (GNSS-SDR.enable_monitor + Monitor.*, PVT.enable_
+        # monitor — gnss_flowgraph.cc:680, rtklib_pvt.cc monitor config)
+        enable_monitor=bool(conf.property("GNSS-SDR.enable_monitor", False)),
+        monitor_host=str(conf.property("Monitor.client_addresses",
+                                       "127.0.0.1")).split("_")[0],
+        monitor_port=int(conf.property("Monitor.udp_port", 1234)),
+        monitor_decimation=int(conf.property("Monitor.decimation_factor",
+                                             50)),
+        enable_pvt_monitor=bool(conf.property("PVT.enable_monitor", False)),
+        pvt_monitor_port=int(conf.property("PVT.monitor_udp_port", 1111)),
     )

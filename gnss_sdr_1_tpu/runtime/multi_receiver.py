@@ -126,7 +126,10 @@ class MultiReceiver:
                     dops[key] = o.doppler_hz
                     systems[key] = sysid
                     per_sys.setdefault(sysid, []).append(p)
-            if len(prs) >= 4 and rx_tow is not None:
+            # >= 4 DISTINCT satellites: two bands of one SV share a line of
+            # sight, so they add precision but not geometric rank
+            n_distinct = len({(systems[k], k % 1000) for k in prs})
+            if len(prs) >= 4 and n_distinct >= 4 and rx_tow is not None:
                 tow_k = rx_tow + (t - rx_t_anchor)
                 sol = solve_pvt(ephs, prs, tow_k, dopplers_hz=dops,
                                 systems=systems)

@@ -84,6 +84,18 @@ class ReceiverConfig:
     # DGNSS/Static/Kinematic engage pvt.rtk.solve_baseline when base-station
     # observables are supplied (CLI --base_obs / library use)
     positioning_mode: str = "Single"
+    # monitoring taps (GNSS-SDR.enable_monitor + Monitor.* props;
+    # gnss_flowgraph.cc:680 monitor wiring, gnss_synchro_monitor decimation)
+    enable_monitor: bool = False
+    monitor_host: str = "127.0.0.1"
+    monitor_port: int = 1234
+    monitor_decimation: int = 50
+    enable_pvt_monitor: bool = False
+    pvt_monitor_port: int = 1111
+    # telemetry watchdog: release a channel after this many symbols without
+    # a decoded TOW (the reference drops after d_max_symbols_without_valid_
+    # frame, gps_l1_ca_telemetry_decoder_gs.cc:364); 0 disables
+    watchdog_symbols: int = 45000
 
     @property
     def spec(self) -> SignalSpec:
@@ -110,6 +122,25 @@ class Receiver:
             prn: glonass_fdma_offset_hz(cfg.signal_id, k)
             for prn, k in dict(cfg.fdma_k).items()
         } if cfg.fdma_k else {}
+        # FDMA offsets that are a non-integer number of carrier cycles per
+        # one-period window leave a phase jump at the circular-correlation
+        # wrap (k*562.5 kHz * 1 ms = k*562.5 cycles: half-integer for odd
+        # k), splitting the peak into +-500 Hz sidebands.  The two-period
+        # bit_transition window keeps every kept lag wrap-free, so force it
+        # (the reference searches the shifted band directly and pays the
+        # same doubled window via bit_transition_flag for GLONASS confs).
+        acq_bit_transition = cfg.acq_bit_transition
+        if any(abs(f) % (fs / self.samples_per_code) > 1e-6
+               for f in self._fdma_offsets.values()):
+            acq_bit_transition = True
+        # signals whose sign can flip at EVERY code-period boundary — a
+        # per-period secondary code (B1I/B3I NH20, L5I NH10, E5a-I CS20) or
+        # a symbol as short as the code (E1B 4 ms, L2CM 20 ms) — smear the
+        # one-period correlation; the reference's cure is the same flag
+        # (pcps_acquisition.cc set_local_code :239-273)
+        if (spec.secondary_code_length > 0
+                or spec.chips_per_symbol <= spec.code_length_chips):
+            acq_bit_transition = True
         self.acq = PcpsAcquisition(
             AcqConfig(
                 fs_hz=fs,
@@ -118,7 +149,7 @@ class Receiver:
                 doppler_max_hz=cfg.doppler_max_hz,
                 doppler_step_hz=cfg.doppler_step_hz,
                 max_dwells=cfg.acq_dwells,
-                bit_transition_flag=cfg.acq_bit_transition,
+                bit_transition_flag=acq_bit_transition,
                 use_cfar=cfg.acq_use_cfar,
                 threshold=cfg.acq_threshold,
                 make_two_steps=cfg.acq_two_steps,
@@ -201,8 +232,39 @@ class Receiver:
         self._pos = 0          # absolute sample index of next block start
         self._blocks_done = 0
         self._next_obs_sample = None
+        self._no_tow_syms: dict[int, int] = {}
+        self.watchdog_trips = 0
+        self._acq_info: dict[int, tuple] = {}
+        self._standby = False
+        self.monitor = None
+        self.pvt_monitor = None
+        if cfg.enable_monitor:
+            from .monitor import UdpSink
+
+            self.monitor = UdpSink(cfg.monitor_host, cfg.monitor_port,
+                                   decimation=1)
+        if cfg.enable_pvt_monitor:
+            from .monitor import UdpSink
+
+            self.pvt_monitor = UdpSink(cfg.monitor_host, cfg.pvt_monitor_port)
 
     # ---------------- channel lifecycle ----------------
+
+    def set_assistance(self, ephemerides: dict, rx_ecef, tow_s: float,
+                       window_hz: float = 600.0) -> int:
+        """A-GNSS: predicted per-satellite Doppler windows gate acquisition
+        (control_thread.cc:566 assist_GNSS -> pcps_assisted_acquisition):
+        a peak outside [pred - window, pred + window] is rejected as a
+        sideband/false alarm, and satellites predicted below the horizon
+        are skipped entirely.  Returns the number of visible predictions."""
+        from .assistance import predict_visible
+
+        self._assist = predict_visible(
+            ephemerides, np.asarray(rx_ecef, dtype=np.float64), tow_s,
+            carrier_freq_hz=self.cfg.spec.carrier_freq_hz)
+        self._assist_window_hz = float(window_hz)
+        self._assist_prns = set(self._assist)
+        return len(self._assist)
 
     def _acquire_and_assign(self, samples_abs_offset: int, samples: np.ndarray) -> None:
         """Run acquisition on idle PRNs, assign positives to idle channels
@@ -220,10 +282,21 @@ class Receiver:
         tracked = {p for p in self.channel_prn if p is not None}
         pins = self.cfg.channel_satellites
         order = np.argsort(-res.test_stat)
+        assist = getattr(self, "_assist", None)
         for k in order:
             prn = self.acq.prns[k]
             if not res.positive[k] or prn in tracked:
                 continue
+            if assist is not None:
+                pred = assist.get(prn)
+                if pred is None:
+                    continue          # predicted below the horizon
+                if abs(res.doppler_hz[k] - pred["doppler_hz"]) > \
+                        self._assist_window_hz:
+                    log.info("PRN %d acq doppler %.0f outside assisted "
+                             "window around %.0f — rejected", prn,
+                             res.doppler_hz[k], pred["doppler_hz"])
+                    continue
             if not idle_channels:
                 break
             # pinned channels only accept their satellite, and get it
@@ -279,6 +352,10 @@ class Receiver:
             self.last_rem[prn] = float(
                 np.asarray(self.state.rem_code_phase_samples)[ch])
             self.last_frac[prn] = self.last_rem[prn]
+            self._no_tow_syms[prn] = 0
+            self._acq_info[prn] = (float(res.delay_samples[k]),
+                                   float(res.doppler_hz[k]),
+                                   int(res.samplestamp))
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
                      ch, prn, res.delay_samples[k], res.doppler_hz[k],
                      res.test_stat[k])
@@ -351,9 +428,107 @@ class Receiver:
                                   tow, float(ep_dops[k]),
                                   float(acc_series[k]), float(ep_cn0[k]))
             self.sym_count[prn] = base_sym + len(prompts)
+            # telemetry watchdog: no decoded TOW for watchdog_symbols
+            # epochs -> recycle the satellite (the reference's telemetry
+            # timeout, gps_l1_ca_telemetry_decoder_gs.cc:364)
+            wd = self.cfg.watchdog_symbols
+            if dec is not None and wd > 0:
+                if dec.tow_at_symbol(self.sym_count[prn] - 1) is None:
+                    self._no_tow_syms[prn] = (
+                        self._no_tow_syms.get(prn, 0) + len(prompts))
+                    if self._no_tow_syms[prn] > wd:
+                        log.info("ch %d PRN %d telemetry watchdog "
+                                 "(%d symbols, no frame) — releasing",
+                                 ch, prn, self._no_tow_syms[prn])
+                        self.state = self.trk.deactivate_channel(
+                            self.state, ch)
+                        self.channel_prn[ch] = None
+                        self._no_tow_syms[prn] = 0
+                        self.watchdog_trips += 1
+                        continue
+                else:
+                    self._no_tow_syms[prn] = 0
+            if self.monitor is not None and len(prompts):
+                self._monitor_tap(ch, prn, prompts, ep_starts, ep_dops,
+                                  ep_cn0, acc_series)
             if not bool(active[-1, ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                 self.channel_prn[ch] = None
+
+    def _monitor_tap(self, ch, prn, prompts, ep_starts, ep_dops, ep_cn0,
+                     acc_series) -> None:
+        """Stream decimated Gnss_Synchro records (gnss_synchro_monitor
+        analogue: one record per channel per monitor_decimation epochs)."""
+        from .monitor import GnssSynchro
+
+        spec = self.cfg.spec
+        dec = self.decoders.get(prn)
+        step = max(1, self.cfg.monitor_decimation)
+        recs = []
+        for k in range(0, len(prompts), step):
+            sym = self.sym_count[prn] - len(prompts) + k
+            tow = dec.tow_at_symbol(sym) if dec is not None else None
+            acq = self._acq_info.get(prn, (0.0, 0.0, 0))
+            recs.append(GnssSynchro(
+                system=spec.system[0], signal=spec.signal_id, prn=prn,
+                channel_id=ch,
+                acq_delay_samples=acq[0], acq_doppler_hz=acq[1],
+                acq_samplestamp_samples=acq[2], flag_valid_acquisition=True,
+                prompt_i=float(prompts[k].real),
+                prompt_q=float(prompts[k].imag),
+                cn0_db_hz=float(ep_cn0[k]),
+                carrier_doppler_hz=float(ep_dops[k]),
+                carrier_phase_rads=float(acc_series[k]),
+                code_phase_samples=float(ep_starts[k] % max(
+                    1, self.samples_per_code)),
+                tracking_sample_counter=int(ep_starts[k]),
+                flag_valid_symbol_output=True,
+                tow_at_current_symbol_ms=0.0 if tow is None else tow * 1e3,
+                flag_valid_word=tow is not None,
+            ))
+        if recs:
+            self.monitor.send_synchro(recs)
+
+    # ---------------- telecommand target (TcpCmdInterface contract) ------
+
+    def status(self) -> str:
+        """One-line receiver state for the `status` telecommand."""
+        n_track = sum(1 for p in self.channel_prn if p is not None)
+        n_eph = sum(1 for d in self.decoders.values()
+                    if d.ephemeris_complete)
+        last = self.solutions[-1] if self.solutions else None
+        pos = (f"lat {last.lat_deg:.5f} lon {last.lon_deg:.5f} "
+               f"h {last.height_m:.1f}" if last else "no fix")
+        return (f"channels {n_track}/{self.cfg.n_channels} tracking, "
+                f"{n_eph} ephemerides, {len(self.solutions)} fixes, {pos}")
+
+    def standby(self) -> None:
+        self._standby = True
+
+    def reset(self) -> None:
+        self._standby = False
+
+    def cold_start(self) -> None:
+        """Drop all channels, decoders and fixes (control_thread.cc
+        cold-start path)."""
+        for ch in range(self.cfg.n_channels):
+            if self.channel_prn[ch] is not None:
+                self.state = self.trk.deactivate_channel(self.state, ch)
+            self.channel_prn[ch] = None
+        self.decoders.clear()
+        self.histories.clear()
+        self.solutions.clear()
+        self.obs_epochs.clear()
+        self.rx_tow_s = None
+        self._next_obs_sample = None
+
+    def warm_start(self, lat, lon, h, utc: str) -> None:
+        """Store an a-priori position for assisted acquisition."""
+        from ..pvt.geodesy import llh_to_ecef
+
+        self.apriori_ecef = llh_to_ecef(np.radians(lat), np.radians(lon), h)
+
+    hot_start = warm_start
 
     def _maybe_extend(self) -> None:
         """State 2 -> 3/4 switch once telemetry reports bit / secondary
@@ -441,6 +616,8 @@ class Receiver:
                 )
                 if sol.valid:
                     self.solutions.append(sol)
+                    if self.pvt_monitor is not None:
+                        self.pvt_monitor.send_pvt(sol)
             self._next_obs_sample += tick
 
     def solve_ppp_batch(self):
@@ -492,6 +669,8 @@ class Receiver:
         seg_blocks = max(1, cfg.reacq_interval_blocks)
         self._pos = 0
         while self._pos + base + nmax <= total:
+            if self._standby:
+                break
             need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
             if self._pos + need <= total:
                 self._acquire_and_assign(

@@ -86,6 +86,25 @@ def _gps_to_galileo(eph):
     )
 
 
+def _gps_to_cnav(eph):
+    """Map the scenario's Keplerian truth onto CNAV broadcast fields
+    (delta terms vs the A_REF/OMEGA_DOT_REF constants of IS-GPS-200
+    30.3.3.1.1 — the inverse of CnavEphemeris.to_keplerian)."""
+    from ..telemetry.cnav import A_REF_M, OMEGA_DOT_REF_SC, CnavEphemeris
+
+    return CnavEphemeris(
+        prn=eph.prn, wn=eph.week, top=eph.toe, toe=eph.toe, toc=eph.toc,
+        delta_a=eph.sqrt_a**2 - A_REF_M, a_dot=0.0,
+        delta_n0=eph.delta_n, delta_n0_dot=0.0,
+        m0=eph.m0, e=eph.e, omega=eph.omega, omega0=eph.omega0,
+        i0=eph.i0, delta_omega_dot=eph.omega_dot - OMEGA_DOT_REF_SC,
+        i0_dot=eph.idot,
+        cis=eph.cis, cic=eph.cic, crs=eph.crs, crc=eph.crc,
+        cus=eph.cus, cuc=eph.cuc,
+        af0=eph.af0, af1=eph.af1, af2=eph.af2, tgd=eph.tgd,
+    )
+
+
 def _gps_to_beidou(eph):
     """Map the scenario's Keplerian truth onto D1 broadcast fields
     (system='C' selects the CGCS2000 constants in the propagator)."""
@@ -166,7 +185,8 @@ def build_scenario(
     toe = np.floor(t0_tow / 7200.0) * 7200.0   # ephemeris reference nearby
     # bit stream starts at the last subframe/page/frame boundary before the
     # earliest possible transmit time (t0 - 0.1 s)
-    boundary = {"1C": 6.0, "B1": 6.0, "1G": 30.0}.get(signal, 2.0)
+    boundary = {"1C": 6.0, "B1": 6.0, "1G": 30.0,
+                "L5": 6.0, "2S": 12.0}.get(signal, 2.0)
     bits_tow0 = np.floor((t0_tow - 0.1) / boundary) * boundary
 
     sats: list[SatParams] = []
@@ -274,6 +294,33 @@ def build_scenario(
                 geph.tow = bits_tow0 + 2.0 * k
                 pages.append(encode_page(encode_word(cycle[k % 5], geph)))
             bits01 = np.concatenate(pages)
+        elif signal in ("L5", "2S"):
+            # CNAV message stream (types 10, 11, 30 cycling; 6 s per message
+            # on L5 at 100 sps, 12 s on L2CM at 50 sps), K=7 r=1/2 FEC.
+            # L5I additionally carries NH10 per 1 ms code period — expand
+            # symbols x10 against NH10 into an effective 1 kbps stream.
+            from ..telemetry.cnav import encode_message
+            from ..utils.native import conv27_encode
+
+            ceph = _gps_to_cnav(eph)
+            msg_s = 6.0 if signal == "L5" else 12.0
+            n_msgs = int(np.ceil((duration_s + 2.0) / msg_s)) + 2
+            cyc = (10, 11, 30)
+            msgs = [encode_message(cyc[k % 3], ceph,
+                                   bits_tow0 + (k + 1) * msg_s)
+                    for k in range(n_msgs)]
+            syms01 = conv27_encode(np.concatenate(msgs))
+            if signal == "L5":
+                from ..codes.gps_l5 import NH10
+
+                d = np.repeat(1.0 - 2.0 * syms01, 10)
+                nh = np.tile(np.asarray(NH10, dtype=np.float64),
+                             len(syms01))
+                bits01 = (1.0 - d * nh) / 2.0     # back to 0/1 for the
+                bit_rate_override = 1000.0        # common conversion below
+            else:
+                bits01 = syms01
+                bit_rate_override = 50.0
         elif signal == "1G":
             # GNAV 30 s frames of 15 strings (2 s each): strings 1-4 carry
             # the ephemeris, 5-15 are filler (almanac slots); string 1

@@ -239,7 +239,8 @@ class GlonassChannelDecoder:
             "gnss_sdr_1_tpu.telemetry.gnav",
             fromlist=["GnavDecoder"]).GnavDecoder(slot)
         self._buf: list[float] = []
-        self._phase: int | None = None
+        self._phase: int | None = None   # consume pointer (advances by 10s)
+        self._phase0: int | None = None  # 10 ms boundary offset at sync
 
     def push(self, prompt_i, start_samples=None) -> None:
         self._buf.extend(np.asarray(prompt_i, dtype=np.float64))
@@ -267,11 +268,16 @@ class GlonassChannelDecoder:
         best = int(np.argmax(hist))
         if hist[best] >= 0.6 * len(flips):
             self._phase = best
+            self._phase0 = best
 
     def tow_at_symbol(self, symbol_idx: int):
-        if self._phase is None:
+        """GLONASS tod at a 1 ms epoch index.  Uses the sync-time boundary
+        offset (_phase0) — _phase itself advances as the consume pointer,
+        and the GnavDecoder's symbol counter starts at the first consumed
+        10 ms sum."""
+        if self._phase0 is None:
             return None
-        sym10 = (symbol_idx - self._phase) / 10.0
+        sym10 = (symbol_idx - self._phase0) / 10.0
         tod = self._dec.tod_at_symbol(int(np.floor(sym10)))
         if tod is None:
             return None

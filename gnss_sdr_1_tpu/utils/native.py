@@ -80,6 +80,19 @@ G1_POLY = 0o171
 G2_POLY = 0o133
 
 
+def conv27_encode(bits: np.ndarray, g1: int = G1_POLY, g2: int = G2_POLY
+                  ) -> np.ndarray:
+    """K=7 r=1/2 convolutional encoder (the inverse of viterbi27) — the
+    test/siggen fixture for CNAV/FNAV/INAV symbol streams."""
+    reg = 0
+    syms = np.empty(2 * len(bits), dtype=np.int64)
+    for i, b in enumerate(np.asarray(bits, dtype=np.int64)):
+        reg = (int(b) << 6) | (reg >> 1)
+        syms[2 * i] = bin(reg & g1).count("1") & 1
+        syms[2 * i + 1] = bin(reg & g2).count("1") & 1
+    return syms
+
+
 def viterbi27(soft_syms: np.ndarray, g1: int = G1_POLY, g2: int = G2_POLY
               ) -> tuple[np.ndarray, int]:
     """Soft-decision K=7 r=1/2 Viterbi decode.

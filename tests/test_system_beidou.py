@@ -19,7 +19,10 @@ from gnss_sdr_1_tpu.runtime import Receiver, ReceiverConfig
 from gnss_sdr_1_tpu.siggen.generator import generate_baseband
 from gnss_sdr_1_tpu.siggen.scenario import build_scenario
 
-FS = 4.092e6
+# incommensurate with the 2.046 Mchip/s B1I code (1.955 samples/chip):
+# integer samples-per-chip quantizes the code-phase observable (see
+# test_system_galileo.py note)
+FS = 4.0e6
 # D1 cold start worst-case: the first subframe is clipped (rx starts 1.25 s
 # into it), so subframes 2,3,1 complete at rx ~22.8 s — 22 s was short by a
 # subframe and decoded 0 ephemerides (round-2 VERDICT Weak #1)
@@ -46,7 +49,7 @@ def beidou_run():
     codes = {p: beidou_b1i_code(p) for p in prns}
     cache = pathlib.Path("/tmp/gnss_sdr_tpu_testcache")
     cache.mkdir(exist_ok=True)
-    key = cache / f"sysbds_{FS:.0f}_{DURATION:.0f}_v2.npy"
+    key = cache / f"sysbds_{FS:.0f}_{DURATION:.0f}_v3.npy"
     if key.exists():
         x = np.load(key)
     else:
@@ -85,7 +88,6 @@ def test_beidou_position_fix(beidou_run):
     assert len(sols) >= 10
     errs = np.stack([s.rx_ecef_m - scen.rx_ecef for s in sols])
     e3d = np.linalg.norm(errs, axis=1)
-    # 2 samples/chip and only a few seconds of fixes after the 18 s D1
-    # ephemeris collection — bound like the Galileo system test
-    assert np.median(e3d) < 60.0
-    assert np.linalg.norm(errs.mean(axis=0)) < 40.0
+    # the reference's accuracy bar (position_test_flags.h:45: 3D < 5 m)
+    assert np.median(e3d) < 5.0, f"median 3D {np.median(e3d):.2f} m"
+    assert np.linalg.norm(errs.mean(axis=0)) < 5.0

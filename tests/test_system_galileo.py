@@ -16,7 +16,14 @@ from gnss_sdr_1_tpu.runtime import Receiver, ReceiverConfig
 from gnss_sdr_1_tpu.siggen.generator import generate_baseband
 from gnss_sdr_1_tpu.siggen.scenario import build_scenario
 
-FS = 4.092e6
+# NOTE fs is deliberately NOT an integer multiple of the (virtual) chip
+# rate: commensurate sampling (e.g. 4.092 MHz = exactly 2 samples per
+# sinBOC half-chip) quantizes the code-phase observable itself — chip edges
+# land on a repeating sample grid and the sub-sample delay becomes
+# unobservable, costing tens of meters.  Real front-ends (and the
+# reference's system tests, signal_generator_flags.h fs_gen defaults)
+# sample incommensurately for exactly this reason.
+FS = 4.0e6
 DURATION = 18.0
 
 
@@ -57,10 +64,6 @@ def test_galileo_position_fix(galileo_run):
     assert len(sols) >= 10
     errs = np.stack([s.rx_ecef_m - scen.rx_ecef for s in sols])
     e3d = np.linalg.norm(errs, axis=1)
-    # E1 BOC tracking at 2 samples/virtual-chip: single-epoch noise is
-    # bounded by the sharper BOC correlation peak
-    assert np.median(e3d) < 300.0
-    # only a few seconds of fixes exist in an 18 s run (ephemeris takes
-    # ~12 s), so the BOC code-phase quantization bias doesn't fully average;
-    # bound accordingly (the GPS system test asserts the tighter bound)
-    assert np.linalg.norm(errs.mean(axis=0)) < 120.0
+    # the reference's accuracy bar (position_test_flags.h:45: 3D < 5 m)
+    assert np.median(e3d) < 5.0, f"median 3D {np.median(e3d):.2f} m"
+    assert np.linalg.norm(errs.mean(axis=0)) < 5.0

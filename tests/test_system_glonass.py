@@ -33,16 +33,16 @@ KS = {1: -2, 2: -1, 3: 0, 4: 1, 5: 2}
 def glonass_run():
     rx_ecef = llh_to_ecef(np.radians(55.75), np.radians(37.62), 180.0)
     slots = sorted(KS)
-    # t0 29 s into a 30 s GNAV frame: the receiver sees a fresh frame
-    # (string 1 + tk anchor) ~1 s in, ephemeris strings 1-3 by ~7 s
+    # t0 25 s into a 30 s GNAV frame: channels have ~5 s to settle before
+    # the fresh frame (string 1 + tk anchor); ephemeris strings 1-3 by ~11 s
     scen = build_scenario(
-        rx_ecef, slots, t0_tow=35999.0, duration_s=DURATION,
+        rx_ecef, slots, t0_tow=35995.0, duration_s=DURATION,
         cn0_dbhz=47.0, chip_rate=0.511e6, carrier_freq=FREQ_G1_GLO,
         signal="1G", fdma_ks=KS)
     code = glonass_ca_code()
     cache = pathlib.Path("/tmp/gnss_sdr_tpu_testcache")
     cache.mkdir(exist_ok=True)
-    key = cache / f"sysglo_{FS:.0f}_{DURATION:.0f}_v1.npy"
+    key = cache / f"sysglo_{FS:.0f}_{DURATION:.0f}_v2.npy"
     if key.exists():
         x = np.load(key)
     else:
@@ -53,7 +53,7 @@ def glonass_run():
     cfg = ReceiverConfig(
         fs_hz=FS, signal_id="1G", n_channels=5, prn_search=tuple(slots),
         fdma_k=tuple(KS.items()), acq_dwells=3,
-        pll_bw_hz=20.0, dll_bw_hz=2.0)
+        pll_bw_hz=25.0, dll_bw_hz=2.0)
     rx = Receiver(cfg)
     sols = rx.process(x)
     return scen, rx, sols

@@ -115,6 +115,7 @@ def test_channel_satellite_pinning():
         positive = np.array([True, True, True])
         delay_samples = np.array([10.0, 20.0, 30.0])
         doppler_hz = np.array([0.0, 100.0, -100.0])
+        samplestamp = 0
 
     prn_of = {p: i for i, p in enumerate(rx.acq.prns)}
     fake = FakeRes()

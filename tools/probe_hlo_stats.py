@@ -33,7 +33,9 @@ def main():
     codes = np.stack([gps_l1ca_code(p) for p in prns])
     cfg = TrackConfig(
         fs_hz=FS, code_length_chips=1023, chip_rate_chips_s=1.023e6,
-        carrier_freq_hz=1575.42e6, n_channels=N_CH, correlator="fft")
+        carrier_freq_hz=1575.42e6, n_channels=N_CH,
+        correlator=os.environ.get("GNSS_BENCH_CORRELATOR", "fft"),
+        chunk_epochs=int(os.environ.get("GNSS_BENCH_CHUNK", "16")))
     eng = TrackingEngine(cfg, codes)
     st = eng.init_state()
 

@@ -7,5 +7,7 @@ carrier wipe-off, FFT circular correlation and CFAR / peak-ratio statistics.
 """
 
 from .pcps import AcqConfig, AcqResult, PcpsAcquisition
+from .variants import CccwsrAcquisition, QuickSyncAcquisition
 
-__all__ = ["AcqConfig", "AcqResult", "PcpsAcquisition"]
+__all__ = ["AcqConfig", "AcqResult", "PcpsAcquisition",
+           "QuickSyncAcquisition", "CccwsrAcquisition"]

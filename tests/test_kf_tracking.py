@@ -1,0 +1,111 @@
+"""Kalman-filter carrier tracking (track/kf.py) vs the reference block's
+behavior contract (gps_l1_ca_kf_tracking_cc.cc): Doppler convergence, phase
+coherence, Doppler-rate estimation (order 3), NIW covariance adaptation."""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_1_tpu.codes import gps_l1ca_code
+from gnss_sdr_1_tpu.constants import GPS_L1_CA
+from gnss_sdr_1_tpu.siggen import SatParams, generate_baseband
+from gnss_sdr_1_tpu.track.kf import KfTrackConfig, KfTrackingEngine
+
+FS = 4.092e6
+
+
+def _run(order, doppler_hz, doppler_rate=0.0, bayes=False, cn0=45.0,
+         duration=1.0, n_ch=2):
+    prns = list(range(1, n_ch + 1))
+    codes = {p: gps_l1ca_code(p) for p in prns}
+    rng = np.random.default_rng(7)
+    sats = [SatParams(prn=p, doppler_hz=doppler_hz + 100.0 * i,
+                      doppler_rate_hz_s=doppler_rate,
+                      delay_chips=float(rng.uniform(0, 1023)),
+                      cn0_dbhz=cn0) for i, p in enumerate(prns)]
+    x = generate_baseband(GPS_L1_CA, sats, codes, FS, duration, noise=True)
+
+    cfg = KfTrackConfig(fs_hz=FS, code_length_chips=1023,
+                        chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                        n_channels=n_ch, order=order, bayes_run=bayes)
+    eng = KfTrackingEngine(cfg, np.stack([codes[p] for p in prns]))
+    st = eng.init_state()
+    for ch, s in enumerate(sats):
+        st = eng.activate_channel(
+            st, ch, ch, s.delay_chips / 1.023e6 * FS, s.doppler_hz, 0, 0)
+    base = len(x) - cfg.epoch_samples_max
+    st, outs = eng.track_block(x, st, base)
+    return sats, outs
+
+
+def test_kf_order2_doppler_convergence():
+    sats, outs = _run(order=2, doppler_hz=1500.0)
+    v = np.asarray(outs.valid)
+    dop = np.asarray(outs.carrier_doppler_hz)
+    for ch, s in enumerate(sats):
+        idx = np.nonzero(v[:, ch])[0]
+        tail = dop[idx[-100:], ch]
+        assert abs(np.mean(tail) - (s.doppler_hz)) < 2.0, \
+            f"ch{ch}: {np.mean(tail)} vs {s.doppler_hz}"
+        assert np.std(tail) < 5.0
+
+
+def test_kf_order3_tracks_doppler_rate():
+    sats, outs = _run(order=3, doppler_hz=-800.0, doppler_rate=50.0,
+                      duration=1.5)
+    v = np.asarray(outs.valid)
+    dop = np.asarray(outs.carrier_doppler_hz)
+    rate = np.asarray(outs.doppler_rate_hz_s)
+    for ch, s in enumerate(sats):
+        idx = np.nonzero(v[:, ch])[0]
+        # Doppler follows the ramp: compare against truth at the tail epoch
+        t_end = idx[-1] * 1e-3
+        truth = s.doppler_hz + s.doppler_rate_hz_s * t_end
+        assert abs(np.mean(dop[idx[-50:], ch]) - truth) < 5.0
+        # rate state converges to ~50 Hz/s
+        assert abs(np.mean(rate[idx[-200:], ch]) - s.doppler_rate_hz_s) < 15.0
+
+
+def test_kf_prompt_power_and_cn0():
+    sats, outs = _run(order=2, doppler_hz=300.0, cn0=44.0)
+    v = np.asarray(outs.valid)
+    corr = np.asarray(outs.correlators)
+    cn0 = np.asarray(outs.cn0_dbhz)
+    for ch in range(len(sats)):
+        idx = np.nonzero(v[:, ch])[0][-100:]
+        p = corr[idx, ch, 1, 0] + 1j * corr[idx, ch, 1, 1]
+        e = corr[idx, ch, 0, 0] + 1j * corr[idx, ch, 0, 1]
+        # prompt dominates early taps once locked
+        assert np.mean(np.abs(p)) > 1.3 * np.mean(np.abs(e))
+        got = cn0[idx, ch][cn0[idx, ch] > 0]
+        assert abs(np.median(got) - 44.0) < 3.0
+
+
+def test_kf_bayes_covariance_adapts():
+    """NIW innovation-covariance estimate engages after ptrans+strans and
+    stays positive / same order as the CN0-derived phase variance."""
+    sats, outs = _run(order=2, doppler_hz=700.0, bayes=True, duration=1.0)
+    v = np.asarray(outs.valid)
+    sig2 = np.asarray(outs.carr_phase_sigma2)
+    for ch in range(len(sats)):
+        idx = np.nonzero(v[:, ch])[0]
+        tail = sig2[idx[-100:], ch]
+        assert np.all(np.isfinite(tail))
+        # theoretical sigma2 at 45 dB-Hz, T=1ms: ~0.016 rad^2; the NIW
+        # estimate should land within an order of magnitude
+        assert 1e-4 < np.median(tail) < 0.3
+
+
+def test_kf_low_cn0_drops_channel():
+    cfg = KfTrackConfig(fs_hz=FS, code_length_chips=1023,
+                        chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                        n_channels=1, order=2, max_lock_fail=1)
+    codes = {1: gps_l1ca_code(1)}
+    rng = np.random.default_rng(3)
+    # pure noise — no signal present
+    x = (rng.normal(size=300_000) + 1j * rng.normal(size=300_000)).astype(
+        np.complex64)
+    eng = KfTrackingEngine(cfg, np.stack([codes[1]]))
+    st = eng.init_state()
+    st = eng.activate_channel(st, 0, 0, 100.0, 0.0, 0, 0)
+    st, outs = eng.track_block(x, st, 280_000)
+    assert not bool(np.asarray(st.active)[0])

@@ -66,7 +66,6 @@ from .discriminators import (
     pll_cloop_two_quadrant_atan,
     pll_four_quadrant_atan,
 )
-from .lock_detectors import carrier_lock_detector, cn0_svn_estimator
 from .loop_filter import (
     FllPllCoeffs,
     FllPllState,
@@ -96,8 +95,15 @@ class TrackState(NamedTuple):
     carr_filter: FllPllState       # (w, x) each [C]
     code_filter: IirState          # (inputs[C,3], outputs[C,3])
     prev_prompt: jnp.ndarray       # f32 [C, 2] — previous Prompt (FLL)
-    prompt_hist: jnp.ndarray       # f32 [C, cn0_samples, 2] sliding buffer
-    hist_count: jnp.ndarray        # int32 prompts accumulated
+    # CN0/lock window accumulators over the current non-overlapping
+    # cn0_samples window (the reference evaluates the detectors on
+    # non-overlapping prompt buffers, cn0_and_tracking_lock_status :839;
+    # running sums replace the sliding buffer — the SNV estimator and the
+    # carrier lock detector are functions of (sum|I|, sum I^2, sum Q^2))
+    s_absi: jnp.ndarray            # f32 sum |Re P| this window
+    s_i2: jnp.ndarray              # f32 sum Re^2 this window
+    s_q2: jnp.ndarray              # f32 sum Im^2 this window
+    cn0_last: jnp.ndarray          # f32 latest completed-window CN0 [dB-Hz]
     push_count: jnp.ndarray        # int32 total loop-closure prompts pushed
     lock_fail: jnp.ndarray         # int32 consecutive lock failures
     epochs_in_track: jnp.ndarray   # int32 epochs since pull-in
@@ -203,7 +209,7 @@ class TrackingEngine:
         # FFT, taps read at interpolated integer lags — no per-sample
         # gathers (which serialize on the TPU backend)
         self._lag_margin = 16
-        if cfg.correlator in ("fft", "mxu"):
+        if cfg.correlator in ("fft", "mxu", "pallas"):
             F = 1
             while F < cfg.epoch_samples_max + 2 * self._lag_margin:
                 F <<= 1
@@ -219,7 +225,7 @@ class TrackingEngine:
             self._lag_window = int(
                 np.ceil(self._lag_margin + 4 + max_shift * spc_samples)) + 4
             self._chunk_epochs = cfg.chunk_epochs
-            if cfg.correlator == "mxu":
+            if cfg.correlator in ("mxu", "pallas"):
                 # direct MXU correlation: only lag_window lags of the
                 # circular correlation are ever read, so the FFT/IFFT pair
                 # (VPU-bound, F = next pow2 ≥ Nmax) is replaced by ONE
@@ -242,6 +248,42 @@ class TrackingEngine:
             # dispatch without blowing up the compiled body
             self._chunk_epochs = 4
         self._fll_epochs = int(round(cfg.pull_in_time_s / cfg.code_period_s))
+        if cfg.correlator == "pallas":
+            from ..ops import pallas_chain as pc
+
+            w, n = self._fllpll, self._fllpll_n
+            self._chain_spec = pc.ChainSpec(
+                E=self._chunk_epochs, LW=self._lag_window, K=cfg.n_taps,
+                C=cfg.n_channels, sec_len=self._sec_len,
+                prompt_index=cfg.prompt_index, veml=cfg.veml,
+                sec_data=cfg.sec_data,
+                lag_margin=float(self._lag_margin),
+                spc_samples=float(cfg.fs_hz / cfg.chip_rate_chips_s),
+                shifts_chips=tuple(float(s) for s in cfg.tap_shifts_chips()),
+                fs=float(cfg.fs_hz), chip_rate=float(cfg.chip_rate_chips_s),
+                carrier_freq=float(cfg.carrier_freq_hz),
+                t0_int=self._t0_int, t0_frac=self._t0_frac,
+                code_period_s=float(cfg.code_period_s),
+                ext_n=int(cfg.extend_correlation_symbols),
+                cn0_samples=int(cfg.cn0_samples),
+                cn0_min_dbhz=float(cfg.cn0_min_dbhz),
+                carrier_lock_th=float(cfg.carrier_lock_th),
+                max_lock_fail=int(cfg.max_lock_fail),
+                fll_narrow_windows=int(cfg.fll_narrow_windows),
+                fll_epochs=self._fll_epochs, order=int(w.order),
+                wide=(w.w0p, w.w0p2, w.w0p3, w.w0f, w.w0f2, w.a2, w.a3, w.b3),
+                narrow=(n.w0p, n.w0p2, n.w0p3, n.w0f, n.w0f2, n.a2, n.a3,
+                        n.b3),
+                dll_b_in=tuple(float(v) for v in np.asarray(self._dll_b_in)),
+                dll_b_in_n=tuple(
+                    float(v) for v in np.asarray(self._dll_b_in_n)),
+                dll_b_out=tuple(
+                    float(v) for v in np.asarray(self._dll_b_out)),
+                dll_b_out_n=tuple(
+                    float(v) for v in np.asarray(self._dll_b_out_n)),
+            )
+            self._chain_call = pc.make_chain_call(
+                self._chain_spec, interpret=jax.default_backend() != "tpu")
         self._block_fn = jax.jit(
             self._track_block_impl, static_argnames=("base", "n_epochs")
         )
@@ -272,8 +314,7 @@ class TrackingEngine:
                 inputs=jnp.zeros((C, 3), f32), outputs=jnp.zeros((C, 3), f32)
             ),
             prev_prompt=jnp.zeros((C, 2), f32),
-            prompt_hist=jnp.zeros((C, self.cfg.cn0_samples, 2), f32),
-            hist_count=zi,
+            s_absi=zf, s_i2=zf, s_q2=zf, cn0_last=zf,
             push_count=zi,
             lock_fail=zi,
             epochs_in_track=zi,
@@ -340,8 +381,10 @@ class TrackingEngine:
                 outputs=state.code_filter.outputs.at[ch].set(0.0),
             ),
             prev_prompt=state.prev_prompt.at[ch].set(0.0),
-            prompt_hist=state.prompt_hist.at[ch].set(0.0),
-            hist_count=set_at(state.hist_count, 0),
+            s_absi=set_at(state.s_absi, 0.0),
+            s_i2=set_at(state.s_i2, 0.0),
+            s_q2=set_at(state.s_q2, 0.0),
+            cn0_last=set_at(state.cn0_last, 0.0),
             push_count=set_at(state.push_count, 0),
             lock_fail=set_at(state.lock_fail, 0),
             epochs_in_track=set_at(state.epochs_in_track, 0),
@@ -396,8 +439,9 @@ class TrackingEngine:
             ext_cnt=set_at(state.ext_cnt, n - e),
             acc_corr=state.acc_corr.at[ch].set(0.0),
             acc_half=state.acc_half.at[ch].set(0.0),
-            prompt_hist=state.prompt_hist.at[ch].set(0.0),
-            hist_count=set_at(state.hist_count, 0),
+            s_absi=set_at(state.s_absi, 0.0),
+            s_i2=set_at(state.s_i2, 0.0),
+            s_q2=set_at(state.s_q2, 0.0),
             push_count=set_at(state.push_count, 0),
             lock_fail=set_at(state.lock_fail, 0),
             fll_on=set_at(state.fll_on, self.cfg.fll_narrow_windows > 0),
@@ -509,7 +553,7 @@ class TrackingEngine:
         # cascade's rate integrator back to zero as the frequency converges
         pll_in = carr_phase_err_cyc
         fll_in = jnp.where(
-            state.fll_on & ~narrow & (state.hist_count > 0),
+            state.fll_on & ~narrow & (state.push_count > 0),
             freq_err_hz, f32(0.0))
         fll_in = jnp.where(narrow & state.fll_on, freq_err_ext, fll_in)
         carr_filt_new, doppler_new = fll_pll_apply(
@@ -571,27 +615,39 @@ class TrackingEngine:
         # state 4 — per-epoch prompts at narrow-mode CN0 would sit below the
         # detector thresholds by design) ---
         push = app
-        pushed = jnp.concatenate(
-            [state.prompt_hist[:, 1:], pack_complex(disc_prompt)[:, None, :]],
-            axis=1)
-        hist_p = jnp.where(push[:, None, None], pushed, state.prompt_hist)
-        hist = unpack_complex(hist_p)
-        hist_count = jnp.minimum(
-            state.hist_count + push.astype(jnp.int32), cfg.cn0_samples)
+        pf = f32(1.0) * push.astype(f32)
+        s_absi = state.s_absi + pf * jnp.abs(disc_prompt.real)
+        s_i2 = state.s_i2 + pf * disc_prompt.real**2
+        s_q2 = state.s_q2 + pf * disc_prompt.imag**2
         push_count = state.push_count + push.astype(jnp.int32)
-        hist_full = hist_count >= cfg.cn0_samples
+        # window completes every cn0_samples pushes; the detectors are the
+        # SNV estimator and the carrier lock metric evaluated on the window
+        # sums (non-overlapping buffers, exactly cn0_and_tracking_lock_status
+        # :839 — the sliding-buffer formulation computed the same numbers,
+        # at a [C, cn0_samples, 2] shift + two reductions every epoch)
+        window_done = push & (jnp.mod(push_count, cfg.cn0_samples) == 0)
         t_cn0 = jnp.where(
             narrow, ext_n.astype(f32) * f32(cfg.code_period_s), t_epoch)
-        cn0 = cn0_svn_estimator(hist, t_cn0)
-        carrier_lock = carrier_lock_detector(hist)
+        m = f32(cfg.cn0_samples)
+        psig = (s_absi / m) ** 2
+        ptot = (s_i2 + s_q2) / m
+        noise = jnp.maximum(ptot - psig, jnp.finfo(f32).tiny)
+        cn0 = (10.0 * jnp.log10(jnp.maximum(psig / noise, f32(1e-10)))
+               - 10.0 * jnp.log10(t_cn0))
+        carrier_lock = (s_i2 - s_q2) / jnp.maximum(
+            s_i2 + s_q2, jnp.finfo(f32).tiny)
+        cn0_last = jnp.where(window_done, cn0, state.cn0_last)
+        hist_full = push_count >= cfg.cn0_samples
+        # reset the accumulators at each completed window
+        s_absi = jnp.where(window_done, 0.0, s_absi)
+        s_i2_k = jnp.where(window_done, 0.0, s_i2)
+        s_q2_k = jnp.where(window_done, 0.0, s_q2)
         # No phase lock exists during the FLL pull-in transitory; supervision
         # starts once the PLL takes over.  The check fires once per
         # cn0_samples NEW prompts — the reference evaluates
         # cn0_and_tracking_lock_status on non-overlapping buffers (:839), so
         # max_lock_fail counts detector windows, not epochs.
-        check_now = push & hist_full & ~state.fll_on & (
-            jnp.mod(push_count, cfg.cn0_samples) == 0
-        )
+        check_now = window_done & ~state.fll_on
         fail = check_now & (
             (cn0 < cfg.cn0_min_dbhz) | (carrier_lock < cfg.carrier_lock_th)
         )
@@ -631,8 +687,7 @@ class TrackingEngine:
             carr_filter=carr_filter,
             code_filter=code_filter,
             prev_prompt=pack_complex(prompt_w),
-            prompt_hist=hist_p,
-            hist_count=hist_count,
+            s_absi=s_absi, s_i2=s_i2_k, s_q2=s_q2_k, cn0_last=cn0_last,
             push_count=push_count,
             lock_fail=lock_fail,
             epochs_in_track=epochs_in_track,
@@ -661,7 +716,9 @@ class TrackingEngine:
             code_freq_delta=merged.code_freq_delta,
             rem_code_phase_samples=merged.rem_code_phase_samples,
             rem_carr_phase_rad=merged.rem_carr_phase_rad,
-            cn0_dbhz=jnp.where(valid & hist_full, cn0, f32(0.0)),
+            # latest completed-window CN0 (the reference's d_CN0_SNV_dB_Hz
+            # likewise holds the last computed value between windows)
+            cn0_dbhz=jnp.where(valid & hist_full, merged.cn0_last, f32(0.0)),
             active=merged.active,
         )
         return merged, outputs
@@ -830,12 +887,174 @@ class TrackingEngine:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs_list)
         return st, stacked
 
+    # ---------------- device path: fused Pallas chain ----------------
+
+    def _pack_rows(self, state: TrackState, limit):
+        """TrackState -> (fstate [SF,C] f32, istate [SI,C] i32) row matrices
+        in ops.pallas_chain row order (runs once per capture/block call —
+        the device loop carries the packed form)."""
+        K = self.cfg.n_taps
+        rows = [state.rem_code_phase_samples, state.code_freq_delta,
+                state.carrier_doppler_hz, state.rem_carr_phase_rad,
+                state.carr_filter.w, state.carr_filter.x,
+                state.prev_prompt[:, 0], state.prev_prompt[:, 1],
+                state.s_absi, state.s_i2, state.s_q2, state.cn0_last,
+                state.acc_half[:, 0], state.acc_half[:, 1],
+                state.carr_offset_hz]
+        rows += [state.code_filter.inputs[:, j] for j in range(3)]
+        rows += [state.code_filter.outputs[:, j] for j in range(3)]
+        rows += [state.acc_corr[:, k, 0] for k in range(K)]
+        rows += [state.acc_corr[:, k, 1] for k in range(K)]
+        fst = jnp.stack(rows).astype(jnp.float32)
+        i32 = jnp.int32
+        irows = [state.active.astype(i32), state.start, state.cur_len,
+                 state.push_count, state.lock_fail, state.epochs_in_track,
+                 state.fll_on.astype(i32), state.mode, state.ext_cnt,
+                 state.sec_on.astype(i32), state.sec_idx,
+                 jnp.broadcast_to(jnp.asarray(limit, i32), state.start.shape)]
+        return fst, jnp.stack(irows)
+
+    def _unpack_rows(self, state: TrackState, fst, ist) -> TrackState:
+        from ..ops import pallas_chain as pc
+
+        K = self.cfg.n_taps
+        return TrackState(
+            active=ist[pc.I_ACTIVE] > 0,
+            prn_slot=state.prn_slot,
+            start=ist[pc.I_START],
+            cur_len=ist[pc.I_CURLEN],
+            rem_code_phase_samples=fst[pc.F_REM_CODE],
+            code_freq_delta=fst[pc.F_DELTA],
+            carrier_doppler_hz=fst[pc.F_DOPPLER],
+            rem_carr_phase_rad=fst[pc.F_REM_CARR],
+            carr_filter=FllPllState(w=fst[pc.F_CARR_W], x=fst[pc.F_CARR_X]),
+            code_filter=IirState(
+                inputs=jnp.stack(
+                    [fst[pc.F_DLL_IN0 + j] for j in range(3)], axis=-1),
+                outputs=jnp.stack(
+                    [fst[pc.F_DLL_OUT0 + j] for j in range(3)], axis=-1)),
+            prev_prompt=jnp.stack(
+                [fst[pc.F_PREV_R], fst[pc.F_PREV_I]], axis=-1),
+            s_absi=fst[pc.F_SABSI], s_i2=fst[pc.F_SI2], s_q2=fst[pc.F_SQ2],
+            cn0_last=fst[pc.F_CN0],
+            push_count=ist[pc.I_PUSH],
+            lock_fail=ist[pc.I_LOCKFAIL],
+            epochs_in_track=ist[pc.I_EPOCHS],
+            fll_on=ist[pc.I_FLL_ON] > 0,
+            mode=ist[pc.I_MODE],
+            ext_cnt=ist[pc.I_EXTCNT],
+            acc_corr=jnp.stack(
+                [jnp.stack([fst[pc.F_ACC_R0 + k], fst[pc.F_ACC_R0 + K + k]],
+                           axis=-1) for k in range(K)], axis=1),
+            acc_half=jnp.stack(
+                [fst[pc.F_ACCH_R], fst[pc.F_ACCH_I]], axis=-1),
+            sec_on=ist[pc.I_SEC_ON] > 0,
+            sec_idx=ist[pc.I_SEC_IDX],
+            carr_offset_hz=fst[pc.F_CARR_OFF],
+        )
+
+    def _pallas_chunk(self, samples_p, fst, ist, rep_rows, sec_rows):
+        """One chunk on packed rows: XLA predicts windows + correlates on
+        the MXU (identical math to _chunk_step), then the fused Pallas
+        kernel runs the exact per-epoch chain for all E epochs in ONE
+        launch (ops/pallas_chain.py)."""
+        from ..ops import pallas_chain as pc
+
+        cfg = self.cfg
+        f32 = jnp.float32
+        E = self._chunk_epochs
+        Nmax = cfg.epoch_samples_max
+        n_samp = samples_p.shape[0]
+
+        active = ist[pc.I_ACTIVE] > 0
+        start = ist[pc.I_START]
+        cur_len = ist[pc.I_CURLEN]
+        delta0 = fst[pc.F_DELTA]
+        rem0 = fst[pc.F_REM_CODE]
+        dopp0 = fst[pc.F_DOPPLER]
+        coff = fst[pc.F_CARR_OFF]
+        rem_carr0 = fst[pc.F_REM_CARR]
+
+        codef0 = f32(cfg.chip_rate_chips_s) + delta0
+        d_t0 = -(f32(self._t0_int) + f32(self._t0_frac)) * delta0 / codef0
+        c_step = f32(self._t0_frac) + d_t0
+        k = jnp.arange(E + 1, dtype=f32)
+        r = rem0[:, None] + (k[None, :] - 1.0) * c_step[:, None]
+        s_pred = (start[:, None] + cur_len[:, None]
+                  + (k[None, :].astype(jnp.int32) - 1) * jnp.int32(self._t0_int)
+                  + jnp.floor(r).astype(jnp.int32))
+        s_pred = jnp.concatenate([start[:, None], s_pred[:, 1:]], axis=1)
+        len_pred = s_pred[:, 1:] - s_pred[:, :-1]
+
+        win = min(self._win + (E - 1) * (self._t0_int + 2), n_samp)
+        m = jnp.min(jnp.where(active, start, jnp.int32(1 << 29)))
+        m = jnp.clip(m, 0, n_samp - win)
+        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
+        off = jnp.clip(s_pred[:, :E] - m, 0, win - Nmax)
+        segs_p = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
+        ))(off)
+        segs = unpack_complex(segs_p)
+
+        step0 = f32(_TWO_PI) * (dopp0 + coff) / f32(cfg.fs_hz)
+        phi_k = jnp.mod(
+            rem_carr0[:, None]
+            + step0[:, None] * (s_pred[:, :E] - start[:, None]).astype(f32),
+            f32(_TWO_PI))
+        n = jnp.arange(Nmax, dtype=f32)
+        phase = phi_k[..., None] + step0[:, None, None] * n
+        wiped = segs * jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+        mask = n[None, None, :] < len_pred[..., None].astype(f32)
+        wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
+
+        zr = jnp.einsum("cen,cln->elc", wiped.real, rep_rows,
+                        preferred_element_type=jnp.float32)
+        zi = jnp.einsum("cen,cln->elc", wiped.imag, rep_rows,
+                        preferred_element_type=jnp.float32)
+
+        out_f, out_i, out_corr, fst2, ist2 = self._chain_call(
+            zr, zi, jnp.transpose(s_pred[:, :E]), step0[None], sec_rows,
+            fst, ist)
+
+        K = cfg.n_taps
+        corr = jnp.stack([out_corr[:, :K], out_corr[:, K:]], axis=-1)
+        outs = TrackOutputs(
+            valid=out_f[:, pc.O_VALID] > 0.5,
+            start=out_i[:, 0],
+            cur_len=out_i[:, 1],
+            correlators=jnp.transpose(corr, (0, 2, 1, 3)),
+            carrier_doppler_hz=out_f[:, pc.O_DOPPLER],
+            code_freq_delta=out_f[:, pc.O_DELTA],
+            rem_code_phase_samples=out_f[:, pc.O_REM_CODE],
+            rem_carr_phase_rad=out_f[:, pc.O_REM_CARR],
+            cn0_dbhz=out_f[:, pc.O_CN0],
+            active=out_f[:, pc.O_ACTIVE] > 0.5,
+        )
+        return fst2, ist2, outs
+
     # ---------------- jitted programs ----------------
 
     def _track_block_impl(self, samples, state: TrackState, *, base: int, n_epochs: int):
-        if self.cfg.correlator in ("fft", "mxu"):
+        if self.cfg.correlator in ("fft", "mxu", "pallas"):
             E = self._chunk_epochs
             n_chunks = (n_epochs + E - 1) // E
+
+            if self.cfg.correlator == "pallas":
+                fst, ist = self._pack_rows(state, base)
+                rep_rows = self._rep_rows[state.prn_slot]
+                sec_rows = jnp.transpose(self._sec[state.prn_slot])
+
+                def step(carry, _):
+                    f, i = carry
+                    f, i, outs = self._pallas_chunk(
+                        samples, f, i, rep_rows, sec_rows)
+                    return (f, i), outs
+
+                (fst, ist), outs = jax.lax.scan(
+                    step, (fst, ist), None, length=n_chunks)
+                outs = jax.tree.map(
+                    lambda a: a.reshape((n_chunks * E,) + a.shape[2:]), outs)
+                return self._unpack_rows(state, fst, ist), outs
 
             def step(carry, _):
                 return self._chunk_step(samples, carry, jnp.int32(base))
@@ -879,6 +1098,26 @@ class TrackingEngine:
             cn0_dbhz=jnp.zeros((cap, C), f32),
             active=jnp.zeros((cap, C), bool),
         )
+
+        if self.cfg.correlator == "pallas":
+            fst0, ist0 = self._pack_rows(state, limit)
+            rep_rows = self._rep_rows[state.prn_slot]
+            sec_rows = jnp.transpose(self._sec[state.prn_slot])
+
+            def chunk_p(i, carry):
+                f, s, b = carry
+                f, s, stacked = self._pallas_chunk(
+                    samples, f, s, rep_rows, sec_rows)
+                b = jax.tree.map(
+                    lambda buf, o: jax.lax.dynamic_update_slice_in_dim(
+                        buf, o.astype(buf.dtype), i * E, 0),
+                    b, stacked)
+                return f, s, b
+
+            n_chunks = (n_epochs + E - 1) // E
+            fst, ist, bufs = jax.lax.fori_loop(
+                0, n_chunks, chunk_p, (fst0, ist0, bufs))
+            return self._unpack_rows(state, fst, ist), bufs
 
         if self.cfg.correlator in ("fft", "mxu"):
             def chunk(i, carry):

@@ -1,0 +1,197 @@
+"""Fused Pallas chain kernel (ops/pallas_chain.py) vs the unrolled XLA
+chain — identical math, so single-chunk state parity must be tight and long
+tracking must agree to within the atan-approximation noise floor.
+
+Runs the kernel in interpret mode on the CPU backend (tests/conftest.py);
+the compiled Mosaic path is exercised by bench.py on the TPU."""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_1_tpu.codes import gps_l1ca_code
+from gnss_sdr_1_tpu.constants import GPS_L1_CA
+from gnss_sdr_1_tpu.ops.pallas_chain import atan2_f32, atan_f32
+from gnss_sdr_1_tpu.siggen import SatParams, generate_baseband
+from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+
+FS = 4.092e6
+N_CH = 3
+
+
+def test_atan_approximations_match_xla():
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=100_000).astype(np.float32) * 10.0
+    x = rng.normal(size=100_000).astype(np.float32) * 10.0
+    assert np.abs(np.asarray(atan_f32(y)) - np.arctan(y)).max() < 3e-7
+    assert np.abs(np.asarray(atan2_f32(y, x)) - np.arctan2(y, x)).max() < 4e-7
+    # axis cases
+    assert float(atan2_f32(np.float32(1.0), np.float32(0.0))) == \
+        pytest.approx(np.pi / 2)
+    assert float(atan2_f32(np.float32(-0.5), np.float32(-0.5))) == \
+        pytest.approx(-3 * np.pi / 4, abs=1e-6)
+
+
+def _engines(**kw):
+    prns = list(range(1, N_CH + 1))
+    codes = np.stack([gps_l1ca_code(p) for p in prns])
+    base_kw = dict(fs_hz=FS, code_length_chips=1023,
+                   chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                   n_channels=N_CH, chunk_epochs=8)
+    base_kw.update(kw)
+    e_mxu = TrackingEngine(TrackConfig(correlator="mxu", **base_kw), codes)
+    e_pal = TrackingEngine(TrackConfig(correlator="pallas", **base_kw), codes)
+    return e_mxu, e_pal
+
+
+def _activate(eng, sats):
+    st = eng.init_state()
+    for ch, s in enumerate(sats):
+        st = eng.activate_channel(
+            st, ch, ch, s.delay_chips / 1.023e6 * FS, s.doppler_hz, 0, 0)
+    return st
+
+
+def _sats(rng):
+    return [SatParams(prn=p, doppler_hz=float(rng.uniform(-4000, 4000)),
+                      delay_chips=float(rng.uniform(0, 1023)),
+                      cn0_dbhz=45.0)
+            for p in range(1, N_CH + 1)]
+
+
+def test_single_block_state_parity():
+    """One 50 ms block from identical state: every state field and output
+    trajectory matches the unrolled chain to float32 tolerance."""
+    rng = np.random.default_rng(11)
+    sats = _sats(rng)
+    codes = {p: gps_l1ca_code(p) for p in range(1, N_CH + 1)}
+    x = generate_baseband(GPS_L1_CA, sats, codes, FS, 0.055, noise=True)
+    e_mxu, e_pal = _engines()
+    st0 = _activate(e_mxu, sats)
+    base = int(FS * 0.050)
+
+    st_m, out_m = e_mxu.track_block(x, st0, base)
+    st_p, out_p = e_pal.track_block(x, st0, base)
+
+    np.testing.assert_array_equal(np.asarray(out_m.valid),
+                                  np.asarray(out_p.valid))
+    v = np.asarray(out_m.valid)
+    for name in ("carrier_doppler_hz", "code_freq_delta",
+                 "rem_code_phase_samples"):
+        a = np.asarray(getattr(out_m, name))[v]
+        b = np.asarray(getattr(out_p, name))[v]
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-2, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(out_p.correlators)[v], np.asarray(out_m.correlators)[v],
+        rtol=1e-4, atol=2e-2)
+    # final state
+    np.testing.assert_array_equal(np.asarray(st_m.start),
+                                  np.asarray(st_p.start))
+    np.testing.assert_array_equal(np.asarray(st_m.cur_len),
+                                  np.asarray(st_p.cur_len))
+    np.testing.assert_allclose(np.asarray(st_p.carrier_doppler_hz),
+                               np.asarray(st_m.carrier_doppler_hz),
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(st_p.rem_code_phase_samples),
+                               np.asarray(st_m.rem_code_phase_samples),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(st_m.push_count),
+                                  np.asarray(st_p.push_count))
+
+
+def test_long_tracking_parity_and_convergence():
+    """1 s of signal: both paths converge to the true Doppler and report
+    consistent CN0; extended mode engages via enable_extended."""
+    rng = np.random.default_rng(7)
+    sats = _sats(rng)
+    codes = {p: gps_l1ca_code(p) for p in range(1, N_CH + 1)}
+    x = generate_baseband(GPS_L1_CA, sats, codes, FS, 1.0, noise=True)
+    e_mxu, e_pal = _engines()
+    results = {}
+    for name, eng in (("mxu", e_mxu), ("pallas", e_pal)):
+        st = _activate(eng, sats)
+        # switch ch0 to extended/narrow mode after 200 ms like the receiver
+        base = int(FS * 0.2)
+        st, _ = eng.track_block(x[: base + eng.cfg.epoch_samples_max],
+                                st, base)
+        st = eng.enable_extended(st, 0, 5, sec_phase=None)
+        st2, outs = eng.track_block(x[base:], st, len(x) - base
+                                    - eng.cfg.epoch_samples_max)
+        results[name] = (st2, outs)
+    for name, (st2, outs) in results.items():
+        v = np.asarray(outs.valid)
+        dop = np.asarray(outs.carrier_doppler_hz)
+        cn0 = np.asarray(outs.cn0_dbhz)
+        for ch, s in enumerate(sats):
+            idx = np.nonzero(v[:, ch])[0]
+            tail = dop[idx[-50:], ch]
+            assert abs(np.mean(tail) - s.doppler_hz) < 2.0, (name, ch)
+            c = cn0[idx, ch][cn0[idx, ch] > 0]
+            if ch == 0:
+                # extended/narrow channel: the SNV estimator absorbs the
+                # narrow PLL's phase jitter into its noise term, reading
+                # several dB below the true CN0 (same behavior as the
+                # reference's estimator on extended prompts)
+                # only ~2 CN0 windows complete in 0.8 s at the 400-epoch
+                # narrow cadence; judge the settled (last) one
+                assert c[-1] > 33.0, (name, ch)
+            else:
+                assert abs(np.median(c) - 45.0) < 3.0, (name, ch)
+        assert np.asarray(st2.active).all(), name
+    # cross-path agreement of the final Doppler (feedback chaos keeps this
+    # loose; the single-block test is the tight contract)
+    d_m = np.asarray(results["mxu"][0].carrier_doppler_hz)
+    d_p = np.asarray(results["pallas"][0].carrier_doppler_hz)
+    np.testing.assert_allclose(d_p, d_m, atol=1.0)
+
+
+def test_pallas_secondary_wipe_and_lock_drop():
+    """In-loop secondary wipe (sec_on) and the lock-fail drop path both run
+    inside the kernel: a noise-only channel is released."""
+    codes = np.stack([gps_l1ca_code(1)])
+    cfg = TrackConfig(fs_hz=FS, code_length_chips=1023,
+                      chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                      n_channels=1, chunk_epochs=8, correlator="pallas",
+                      max_lock_fail=1)
+    sec = np.ones((1, 20), dtype=np.float32)
+    eng = TrackingEngine(cfg, codes, sec_codes=sec)
+    rng = np.random.default_rng(3)
+    x = (rng.normal(size=500_000) + 1j * rng.normal(size=500_000)).astype(
+        np.complex64)
+    st = eng.init_state()
+    st = eng.activate_channel(st, 0, 0, 123.0, 0.0, 0, 0)
+    # wide-mode supervision drops the noise-only channel (narrow-mode
+    # checks need 400 epochs/window — longer than this capture)
+    st, outs = eng.track_block(x, st, 480_000)
+    assert not bool(np.asarray(st.active)[0])
+
+    # secondary wipe runs in-kernel: a constant-sign secondary on a clean
+    # pilot keeps the four-quadrant PLL locked through sign flips
+    sec2 = np.tile(np.array([[1.0, -1.0]], np.float32), (1, 10))
+    eng2 = TrackingEngine(
+        TrackConfig(fs_hz=FS, code_length_chips=1023,
+                    chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                    n_channels=1, chunk_epochs=8, correlator="pallas"),
+        codes, sec_codes=sec2)
+    code = gps_l1ca_code(1)
+    spc = int(FS // 1000)
+    n_ep = 220
+    rng2 = np.random.default_rng(9)
+    rep = np.repeat(code, 4)[:spc]
+    chips = np.tile(rep, n_ep).astype(np.float64)
+    secseq = np.repeat(np.resize(sec2[0], n_ep), spc)
+    sig = (chips * secseq * 0.1
+           + 0.05 * (rng2.normal(size=n_ep * spc)
+                     + 1j * rng2.normal(size=n_ep * spc))).astype(np.complex64)
+    st2 = eng2.init_state()
+    st2 = eng2.activate_channel(st2, 0, 0, 0.0, 0.0, 0, 0)
+    st2 = st2._replace(sec_on=st2.sec_on.at[0].set(True),
+                       sec_idx=st2.sec_idx.at[0].set(0))
+    st2, outs2 = eng2.track_block(sig, st2, (n_ep - 2) * spc)
+    v2 = np.asarray(outs2.valid)[:, 0]
+    corr2 = np.asarray(outs2.correlators)
+    p = corr2[v2, 0, 1, 0] + 1j * corr2[v2, 0, 1, 1]
+    sec_at = np.resize(sec2[0], len(p))
+    wiped = p.real * sec_at
+    # after wipe the prompt I is sign-stable positive
+    assert np.mean(wiped[20:] > 0) > 0.95
+    assert bool(np.asarray(st2.active)[0])

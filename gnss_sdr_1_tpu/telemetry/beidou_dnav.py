@@ -424,3 +424,298 @@ class DnavDecoder:
             if not decoded:
                 i += 1 if not self.frame_sync else SUBFRAME_BITS
         self._decoded_until = i
+
+
+# ----------------------------------------------------------------------
+# D2 NAV (GEO satellites, PRN 1-5): 500 sps symbols, subframe 1 split
+# over 10 pages (beidou_dnav_navigation_message.cc d2_subframe_decoder
+# :746-933; bit tables Beidou_DNAV.h:218-291).  Word structure (BCH pairs
+# + interleave) is shared with D1, so encode_word/decode_word apply.
+# ----------------------------------------------------------------------
+
+# per-page raw fields of D2 subframe 1 (positions into the decoded layout;
+# *_msb/*_lsb parts are combined by D2Decoder with the shifts the
+# reference applies at :800-899)
+D2_PAGE_FIELDS: dict[int, dict[str, tuple[tuple, float, bool]]] = {
+    1: {
+        "sat_h1": (((47, 1),), 1.0, False),
+        "aodc": (((48, 5),), 1.0, False),
+        "urai": (((61, 4),), 1.0, False),
+        "wn": (((65, 13),), 1.0, False),
+        "toc": (((78, 5), (91, 12)), 2.0 ** 3, False),
+        "tgd1": (((103, 10),), 0.1e-9, True),
+    },
+    2: {
+        "alpha0": (((47, 6), (61, 2)), 2.0 ** -30, True),
+        "alpha1": (((63, 8),), 2.0 ** -27, True),
+        "alpha2": (((71, 8),), 2.0 ** -24, True),
+        "alpha3": (((79, 4), (91, 4)), 2.0 ** -24, True),
+        "beta0": (((95, 8),), 2.0 ** 11, True),
+        "beta1": (((103, 8),), 2.0 ** 14, True),
+        "beta2": (((111, 2), (121, 6)), 2.0 ** 16, True),
+        "beta3": (((127, 8),), 2.0 ** 16, True),
+    },
+    3: {
+        "a0": (((101, 12), (121, 12)), 2.0 ** -33, True),
+        "a1_msb": (((133, 4),), 1.0, False),
+    },
+    4: {
+        "a1_lsb": (((47, 6), (61, 12)), 1.0, False),
+        "a2": (((73, 10), (91, 1)), 2.0 ** -66, True),
+        "aode": (((92, 5),), 1.0, False),
+        "delta_n": (((97, 16),), 2.0 ** -43, True),
+        "cuc_msb": (((121, 14),), 1.0, False),
+    },
+    5: {
+        "cuc_lsb": (((47, 4),), 1.0, False),
+        "m0": (((51, 2), (61, 22), (91, 8)), 2.0 ** -31, True),
+        "cus": (((99, 14), (121, 4)), 2.0 ** -31, True),
+        "e_msb": (((125, 10),), 1.0, False),
+    },
+    6: {
+        "e_lsb": (((47, 6), (61, 16)), 1.0, False),
+        "sqrt_a": (((77, 6), (91, 22), (121, 4)), 2.0 ** -19, False),
+        "cic_msb": (((125, 10),), 1.0, False),
+    },
+    7: {
+        "cic_lsb": (((47, 6), (61, 2)), 1.0, False),
+        "cis": (((63, 18),), 2.0 ** -31, True),
+        "toe": (((81, 2), (91, 15)), 2.0 ** 3, False),
+        "i0_msb": (((106, 7), (121, 14)), 1.0, False),
+    },
+    8: {
+        "i0_lsb": (((47, 6), (61, 5)), 1.0, False),
+        "crc": (((66, 17), (91, 1)), 2.0 ** -6, True),
+        "crs": (((92, 18),), 2.0 ** -6, True),
+        "omega_dot_msb": (((110, 3), (121, 16)), 1.0, False),
+    },
+    9: {
+        "omega_dot_lsb": (((47, 5),), 1.0, False),
+        "omega0": (((52, 1), (61, 22), (91, 9)), 2.0 ** -31, True),
+        "omega_msb": (((100, 13), (121, 14)), 1.0, False),
+    },
+    10: {
+        "omega_lsb": (((47, 5),), 1.0, False),
+        "idot": (((52, 1), (61, 13)), 2.0 ** -43, True),
+    },
+}
+
+# split fields: name -> (msb_page, lsb_page, lsb_shift, total_bits,
+#                        scale, signed)
+D2_SPLITS = {
+    "a1": (3, 4, 18, 22, 2.0 ** -50, True),
+    "cuc": (4, 5, 4, 18, 2.0 ** -31, True),
+    "e": (5, 6, 22, 32, 2.0 ** -33, False),
+    "cic": (6, 7, 8, 18, 2.0 ** -31, True),
+    "i0": (7, 8, 11, 32, 2.0 ** -31, True),
+    "omega_dot": (8, 9, 5, 24, 2.0 ** -43, True),
+    "omega": (9, 10, 5, 32, 2.0 ** -31, True),
+}
+
+
+def d2_fields_for(eph: "BeidouEphemeris", page: int,
+                  iono: "BeidouIono | None" = None) -> dict[str, float]:
+    """Broadcast field dict for encode_d2_page_bits from an ephemeris
+    (siggen/test fixture — inverse of D2Decoder)."""
+
+    def split_parts(name, value_int):
+        _, _, shift, nbits, _, _ = D2_SPLITS[name]
+        v = value_int & ((1 << nbits) - 1)
+        return v >> shift, v & ((1 << shift) - 1)
+
+    def as_int(name, value):
+        _, _, _, nbits, scale, signed = D2_SPLITS[name]
+        v = int(round(value / scale))
+        return v & ((1 << nbits) - 1)
+
+    if page == 1:
+        return {"wn": eph.week, "toc": eph.toc, "tgd1": eph.tgd,
+                "aodc": eph.iodc, "sat_h1": eph.sat_h1}
+    if page == 2 and iono is not None:
+        return {"alpha0": iono.alpha[0], "alpha1": iono.alpha[1],
+                "alpha2": iono.alpha[2], "alpha3": iono.alpha[3],
+                "beta0": iono.beta[0], "beta1": iono.beta[1],
+                "beta2": iono.beta[2], "beta3": iono.beta[3]}
+    if page == 3:
+        msb, _ = split_parts("a1", as_int("a1", eph.af1))
+        return {"a0": eph.af0, "a1_msb": msb}
+    if page == 4:
+        _, a1_lsb = split_parts("a1", as_int("a1", eph.af1))
+        cuc_msb, _ = split_parts("cuc", as_int("cuc", eph.cuc))
+        return {"a1_lsb": a1_lsb, "a2": eph.af2, "aode": eph.iode,
+                "delta_n": eph.delta_n, "cuc_msb": cuc_msb}
+    if page == 5:
+        _, cuc_lsb = split_parts("cuc", as_int("cuc", eph.cuc))
+        e_msb, _ = split_parts("e", as_int("e", eph.e))
+        return {"cuc_lsb": cuc_lsb, "m0": eph.m0, "cus": eph.cus,
+                "e_msb": e_msb}
+    if page == 6:
+        _, e_lsb = split_parts("e", as_int("e", eph.e))
+        cic_msb, _ = split_parts("cic", as_int("cic", eph.cic))
+        return {"e_lsb": e_lsb, "sqrt_a": eph.sqrt_a, "cic_msb": cic_msb}
+    if page == 7:
+        _, cic_lsb = split_parts("cic", as_int("cic", eph.cic))
+        i0_msb, _ = split_parts("i0", as_int("i0", eph.i0))
+        return {"cic_lsb": cic_lsb, "cis": eph.cis, "toe": eph.toe,
+                "i0_msb": i0_msb}
+    if page == 8:
+        _, i0_lsb = split_parts("i0", as_int("i0", eph.i0))
+        od_msb, _ = split_parts("omega_dot", as_int("omega_dot",
+                                                    eph.omega_dot))
+        return {"i0_lsb": i0_lsb, "crc": eph.crc, "crs": eph.crs,
+                "omega_dot_msb": od_msb}
+    if page == 9:
+        _, od_lsb = split_parts("omega_dot", as_int("omega_dot",
+                                                    eph.omega_dot))
+        om_msb, _ = split_parts("omega", as_int("omega", eph.omega))
+        return {"omega_dot_lsb": od_lsb, "omega0": eph.omega0,
+                "omega_msb": om_msb}
+    if page == 10:
+        _, om_lsb = split_parts("omega", as_int("omega", eph.omega))
+        return {"omega_lsb": om_lsb, "idot": eph.idot}
+    return {}
+
+
+def encode_d2_page_bits(page: int, sow_s: float,
+                        fields: dict[str, float] | None = None
+                        ) -> np.ndarray:
+    """Build one TRANSMITTED 300-bit D2 subframe-1 page (test/siggen
+    fixture; inverse of D2Decoder page decode)."""
+    layout = np.zeros(SUBFRAME_BITS, dtype=np.int64)
+    layout[:11] = D1_PREAMBLE
+    _write_bits(layout, ((16, 3),), 1)                  # FraID = 1
+    _write_bits(layout, ((19, 8), (31, 12)), int(sow_s))
+    _write_bits(layout, ((43, 4),), page)               # Pnum
+    if fields:
+        spec_map = D2_PAGE_FIELDS[page]
+        for name, value in fields.items():
+            spec, lsb, signed = spec_map[name]
+            write_field(layout, spec, lsb, signed, value)
+    out = []
+    for w in range(10):
+        word = layout[w * 30 : (w + 1) * 30]
+        if w == 0:
+            tx = np.concatenate([word[:26], bch1511_encode(word[15:26])[11:]])
+            out.append(tx)
+        else:
+            out.append(encode_word(word[:22]))
+    return np.concatenate(out)
+
+
+class D2Decoder:
+    """Per-channel D2 NAV decoder (GEO PRNs 1-5): one prompt per 2 ms
+    symbol, subframe-1 pages 1-10 accumulated into a BeidouEphemeris.
+
+    The reference telemetry decoder reuses the D1 word machinery for D2
+    (beidou_b1i_telemetry_decoder_gs.cc:317-345 switches symbol timing
+    only); page dispatch follows d2_subframe_decoder :746-933."""
+
+    SYMBOL_S = 0.002                   # 500 sps
+
+    def __init__(self, prn: int = 0):
+        self.prn = prn
+        self._soft: list[float] = []
+        self.frame_sync = False
+        self._decoded_until = 0
+        self._tow_symbol: int | None = None
+        self._sow_s: float | None = None
+        self.ephemeris = BeidouEphemeris(prn=prn)
+        self.iono = BeidouIono()
+        self._pages: dict[int, dict] = {}
+        self._raw: dict[str, float] = {}
+
+    def push(self, prompt_i) -> None:
+        self._soft.extend(np.asarray(prompt_i, dtype=np.float64))
+        self._process()
+
+    @property
+    def ephemeris_complete(self) -> bool:
+        return all(p in self._pages for p in range(1, 11))
+
+    def sow_at_symbol(self, symbol_idx: int) -> float | None:
+        if self._sow_s is None:
+            return None
+        return self._sow_s + self.SYMBOL_S * (symbol_idx - self._tow_symbol)
+
+    def _combine_splits(self) -> None:
+        eph = self.ephemeris
+        r = self._raw
+        for name, (pm, pl, shift, nbits, scale, signed) in D2_SPLITS.items():
+            if f"{name}_msb" not in r or f"{name}_lsb" not in r:
+                continue
+            v = (int(r[f"{name}_msb"]) << shift) + int(r[f"{name}_lsb"])
+            if signed and v >= (1 << (nbits - 1)):
+                v -= 1 << nbits
+            setattr(eph, {"a1": "af1"}.get(name, name), v * scale)
+
+    def _extract(self, page: int, layout: np.ndarray) -> None:
+        f = {}
+        for name, (spec, lsb, signed) in D2_PAGE_FIELDS[page].items():
+            f[name] = read_field(layout, spec, lsb, signed)
+        eph = self.ephemeris
+        if page == 1:
+            eph.week = int(f["wn"])
+            eph.toc = f["toc"]
+            eph.tgd = f["tgd1"]
+            eph.iodc = int(f["aodc"])
+            eph.sat_h1 = int(f["sat_h1"])
+        elif page == 2:
+            self.iono = BeidouIono(
+                alpha=(f["alpha0"], f["alpha1"], f["alpha2"], f["alpha3"]),
+                beta=(f["beta0"], f["beta1"], f["beta2"], f["beta3"]),
+                valid=True)
+        elif page == 3:
+            eph.af0 = f["a0"]
+        elif page == 4:
+            eph.af2 = f["a2"]
+            eph.iode = int(f["aode"])
+            eph.delta_n = f["delta_n"]
+        elif page == 5:
+            eph.m0 = f["m0"]
+            eph.cus = f["cus"]
+        elif page == 6:
+            eph.sqrt_a = f["sqrt_a"]
+        elif page == 7:
+            eph.cis = f["cis"]
+            eph.toe = f["toe"]
+        elif page == 8:
+            eph.crc = f["crc"]
+            eph.crs = f["crs"]
+        elif page == 9:
+            eph.omega0 = f["omega0"]
+        elif page == 10:
+            eph.idot = f["idot"]
+        for name, v in f.items():
+            if name.endswith("_msb") or name.endswith("_lsb"):
+                self._raw[name] = v
+        self._combine_splits()
+        self._pages[page] = f
+
+    def _process(self) -> None:
+        s = np.asarray(self._soft)
+        if len(s) < SUBFRAME_BITS + 11:
+            return
+        i = self._decoded_until
+        while len(s) >= i + SUBFRAME_BITS:
+            decoded = False
+            for pol in (1.0, -1.0):
+                bits = ((pol * s[i : i + SUBFRAME_BITS]) < 0).astype(np.int64)
+                r = decode_subframe(bits)
+                if r is not None:
+                    fra_id = r["fra_id"]
+                    self.frame_sync = True
+                    if fra_id == 1:
+                        # SOW (integer seconds) anchors TOW only on pages —
+                        # the reference sets flag_new_SOW_available only in
+                        # d2_subframe_decoder's FraID-1 cases (:768-903)
+                        self._tow_symbol = i
+                        self._sow_s = r["sow_s"]
+                        page = _read_bits(r["layout"], ((43, 4),))
+                        if 1 <= page <= 10:
+                            self._extract(page, r["layout"])
+                    i += SUBFRAME_BITS
+                    decoded = True
+                    break
+            if not decoded:
+                i += 1 if not self.frame_sync else SUBFRAME_BITS
+        self._decoded_until = i

@@ -31,16 +31,27 @@ class BeidouChannelDecoder:
     _NH_AMP = 1.0 - 2.0 * _NH
 
     def __init__(self, prn: int):
+        from .beidou_dnav import D2Decoder, DnavDecoder
+
         self.prn = prn
-        self._dec = __import__(
-            "gnss_sdr_1_tpu.telemetry.beidou_dnav",
-            fromlist=["DnavDecoder"]).DnavDecoder(prn)
+        # GEO satellites (PRN 1-5) broadcast D2 NAV at 500 sps with no NH
+        # modulation; MEO/IGSO broadcast D1 at 50 bps under NH20
+        # (beidou_b1i_telemetry_decoder_gs.cc:317-345 set_satellite)
+        self.is_geo = 1 <= prn <= 5
+        self._dec = D2Decoder(prn) if self.is_geo else DnavDecoder(prn)
+        # D2 symbol boundary is ambiguous at 1 ms epoch granularity: run
+        # both 2-epoch integration phases until one achieves frame sync
+        self._d2_alt = D2Decoder(prn) if self.is_geo else None
+        self._d2_phase: int | None = None
         self._buf: list[float] = []
         self._nh_offset: int | None = None
         self._bit_symbol0: int | None = None
 
     def push(self, prompt_i, start_samples=None) -> None:
         self._buf.extend(np.asarray(prompt_i, dtype=np.float64))
+        if self.is_geo:
+            self._push_d2()
+            return
         if self._nh_offset is None:
             self._sync_nh()
         if self._nh_offset is None:
@@ -54,6 +65,34 @@ class BeidouChannelDecoder:
         bits = (seg.reshape(usable, 20) * self._NH_AMP[None, :]).sum(axis=1)
         self._dec.push(bits)
         self._nh_offset += usable * 20
+
+    def _push_d2(self) -> None:
+        p = np.asarray(self._buf)
+        if self._d2_phase is None:
+            # feed both phases from scratch each call until one syncs
+            # (cheap: D2Decoder.push is incremental, so re-create lazily)
+            for phase, dec in ((0, self._dec), (1, self._d2_alt)):
+                n = (len(p) - phase) // 2
+                fed = getattr(dec, "_fed", 0)
+                if n > fed:
+                    seg = p[phase + fed * 2 : phase + n * 2]
+                    dec.push(seg.reshape(-1, 2).sum(axis=1))
+                    dec._fed = n
+            if self._dec.frame_sync:
+                self._d2_phase = 0
+                self._bit_symbol0 = 0
+            elif self._d2_alt.frame_sync:
+                self._dec = self._d2_alt
+                self._d2_phase = 1
+                self._bit_symbol0 = 1
+            return
+        phase = self._d2_phase
+        n = (len(p) - phase) // 2
+        fed = getattr(self._dec, "_fed", 0)
+        if n > fed:
+            seg = p[phase + fed * 2 : phase + n * 2]
+            self._dec.push(seg.reshape(-1, 2).sum(axis=1))
+            self._dec._fed = n
 
     def _sync_nh(self) -> None:
         p = np.asarray(self._buf)
@@ -77,19 +116,24 @@ class BeidouChannelDecoder:
     def sec_sync_offset(self) -> int | None:
         """Epoch index (mod 20) of the NH20 boundary once synced — the
         receiver uses it to align the engine's extended-coherent window and
-        in-loop wipe-off phase."""
+        in-loop wipe-off phase.  GEO (D2) carries no NH code: always None so
+        the receiver keeps the channel in wide tracking."""
+        if self.is_geo:
+            return None
         return None if self._bit_symbol0 is None else self._bit_symbol0 % 20
 
     def tow_at_symbol(self, symbol_idx: int):
-        """SOW at a 1 ms epoch index (bits advance 20 ms each)."""
+        """SOW at a 1 ms epoch index (D1 bits advance 20 ms, D2 symbols
+        2 ms)."""
         if self._bit_symbol0 is None:
             return None
-        bit_idx = (symbol_idx - self._bit_symbol0) / 20.0
+        per = 2.0 if self.is_geo else 20.0
+        bit_idx = (symbol_idx - self._bit_symbol0) / per
         sow = self._dec.sow_at_symbol(int(np.floor(bit_idx)))
         if sow is None:
             return None
         frac = bit_idx - np.floor(bit_idx)
-        return sow + 0.02 * frac
+        return sow + per * 1e-3 * frac
 
     @property
     def ephemeris(self):

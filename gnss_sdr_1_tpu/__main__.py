@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                     help="stream PVT solutions to this UDP port")
     ap.add_argument("--assist", default=None,
                     help="A-GNSS assistance JSON (runtime.assistance store)")
+    ap.add_argument("--supl", default=None, metavar="HOST[:PORT]",
+                    help="fetch A-GNSS assistance from a SUPL server "
+                         "(GNSS-SDR.SUPL_gps_enabled analogue; default "
+                         "port 7275)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -129,6 +133,26 @@ def main(argv=None) -> int:
                 a_ephs, llh_to_ecef(np.radians(a_llh[0]),
                                     np.radians(a_llh[1]), a_llh[2]), a_tow)
             print(f"A-GNSS: {n_vis} satellites predicted visible")
+    if args.supl:
+        from .runtime.supl import SUPL_PORT, SuplClient
+
+        host, _, port = args.supl.partition(":")
+        cli = SuplClient(host, int(port) if port else SUPL_PORT)
+        if cli.get_assistance() == 0:
+            print(f"SUPL: {len(cli.gps_ephemeris_map)} ephemerides, "
+                  f"{len(cli.gps_acq_map)} acq-assist entries received")
+            if (cli.gps_ephemeris_map and cli.gps_ref_loc is not None
+                    and cli.gps_time is not None):
+                from .pvt.geodesy import llh_to_ecef
+
+                lat, lon, alt = cli.gps_ref_loc
+                n_vis = rx.set_assistance(
+                    cli.gps_ephemeris_map,
+                    llh_to_ecef(np.radians(lat), np.radians(lon), alt),
+                    cli.gps_time[1])
+                print(f"SUPL A-GNSS: {n_vis} satellites predicted visible")
+        else:
+            print("SUPL: assistance request failed")
     tcmd = None
     if args.telecommand_port:
         from .runtime.telecommand import TelecommandServer

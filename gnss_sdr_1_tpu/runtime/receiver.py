@@ -225,6 +225,7 @@ class Receiver:
         self.last_rem: dict[int, float] = {}
         self.last_frac: dict[int, float] = {}
         self.carrier_phase_acc: dict[int, float] = {}
+        self.last_carr_rem: dict[int, float] = {}
         self.rx_tow_s: float | None = None
         self.rx_tow_sample: int | None = None
         self.solutions: list[PvtSolution] = []
@@ -352,6 +353,8 @@ class Receiver:
             self.last_rem[prn] = float(
                 np.asarray(self.state.rem_code_phase_samples)[ch])
             self.last_frac[prn] = self.last_rem[prn]
+            self.carrier_phase_acc.pop(prn, None)
+            self.last_carr_rem.pop(prn, None)
             self._no_tow_syms[prn] = 0
             self._acq_info[prn] = (float(res.delay_samples[k]),
                                    float(res.doppler_hz[k]),
@@ -407,16 +410,32 @@ class Receiver:
                 self.last_frac[prn] = float(fracs[-1])
             dec = self.decoders.get(prn)
             base_sym = self.sym_count[prn]
-            # accumulated carrier phase integrates on host in float64
-            # (gnss_synchro Carrier_phase_rads analogue; the device carries
-            # only the wrapped remainder)
-            ep_lens = lens[v, ch]
+            # accumulated carrier phase = the device NCO ledger unwrapped in
+            # host float64 (gnss_synchro.h:61-80 Carrier_phase_rads): the
+            # Doppler x epoch-length product supplies the integer cycles,
+            # and the device's wrapped rem_carr_phase_rad output pins the
+            # fractional phase exactly to the NCO recursion — the phase the
+            # correlator actually applied, not a host re-integration
+            ep_lens = lens[v, ch].astype(np.float64)
+            rems_carr = np.asarray(
+                outs.rem_carr_phase_rad, dtype=np.float64)[v, ch]
             acc0 = self.carrier_phase_acc.get(prn, 0.0)
-            deltas = 2.0 * np.pi * ep_dops.astype(np.float64) * (
-                ep_lens.astype(np.float64) / self.cfg.fs_hz)
+            prev_carr = self.last_carr_rem.get(
+                prn, float(rems_carr[0]) if len(rems_carr) else 0.0)
+            # step applied between consecutive ledger values covers the
+            # NEXT epoch (engine A.6 note): pair dopp_k with len_{k+1}
+            lens_next = np.concatenate([ep_lens[1:], ep_lens[-1:]]) if len(
+                ep_lens) else ep_lens
+            est = (2.0 * np.pi * ep_dops.astype(np.float64)
+                   * lens_next / self.cfg.fs_hz)
+            prevs = np.concatenate([[prev_carr], rems_carr[:-1]]) if len(
+                rems_carr) else rems_carr
+            resid = rems_carr - prevs - est
+            deltas = est + (np.mod(resid + np.pi, 2.0 * np.pi) - np.pi)
             acc_series = acc0 + np.cumsum(deltas)
-            self.carrier_phase_acc[prn] = float(acc_series[-1]) if len(
-                acc_series) else acc0
+            if len(acc_series):
+                self.carrier_phase_acc[prn] = float(acc_series[-1])
+                self.last_carr_rem[prn] = float(rems_carr[-1])
             ep_cn0 = cn0s[v, ch]
             if dec is not None:
                 dec.push(prompts.real, ep_starts)
@@ -667,12 +686,18 @@ class Receiver:
         nmax = self.trk.cfg.epoch_samples_max
         total = len(samples)
         seg_blocks = max(1, cfg.reacq_interval_blocks)
+        # absolute sample stamps continue across process() calls so a
+        # checkpointed receiver resumes mid-capture with a consistent
+        # RX-clock timeline (checkpoint()/resume_from())
+        abs_base = getattr(self, "_abs_base", 0)
         self._pos = 0
         while self._pos + base + nmax <= total:
             if self._standby:
                 break
             need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
             if self._pos + need <= total:
+                # acquisition/activation run in process-call-relative
+                # sample coordinates (the tracking segment frame)
                 self._acquire_and_assign(
                     self._pos, samples[self._pos : self._pos + need])
             n_blocks = min(seg_blocks, (total - self._pos - nmax) // base)
@@ -682,9 +707,62 @@ class Receiver:
             seg = samples[self._pos : self._pos + span + nmax]
             seg_dev = jnp.asarray(to_planar(seg))
             self.state, outs = self.trk.track_capture(seg_dev, self.state, span)
-            self._harvest(outs, self._pos)
+            self._harvest(outs, abs_base + self._pos)
             self._maybe_extend()
             self._observables_and_pvt()
             self._pos += span
             self._blocks_done += n_blocks
+        self._abs_base = abs_base + self._pos
         return self.solutions
+
+    # ---------------- checkpoint / resume ----------------
+
+    _CKPT_FIELDS = (
+        "channel_prn", "decoders", "histories", "sym_count", "last_rem",
+        "last_frac", "carrier_phase_acc", "last_carr_rem", "rx_tow_s",
+        "rx_tow_sample", "solutions", "obs_epochs", "_blocks_done",
+        "_next_obs_sample", "_standby", "_abs_base", "_no_tow_syms",
+        "_acq_info",
+    )
+
+    def checkpoint(self, path: str) -> None:
+        """Snapshot the complete receiver state — device tracking scan
+        state, per-channel decoder FSMs, observables histories, RX clock,
+        solutions — so a later resume_from() continues the run exactly
+        (SURVEY.md §5 checkpoint/resume; the reference has no analogue,
+        its state lives in live GNU Radio block instances)."""
+        import pickle
+
+        import jax
+
+        blob = {
+            "version": 1,
+            "cfg": self.cfg,
+            "track_state": jax.tree.map(np.asarray, self.state),
+        }
+        for name in self._CKPT_FIELDS:
+            blob[name] = getattr(self, name, None)
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    @classmethod
+    def resume_from(cls, path: str) -> "Receiver":
+        """Rebuild a Receiver from a checkpoint(); feed the remaining
+        samples to process() and the run continues where it left off."""
+        import pickle
+
+        import jax.numpy as jnp
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if blob.get("version") != 1:
+            raise ValueError(f"unsupported checkpoint version: "
+                             f"{blob.get('version')}")
+        rx = cls(blob["cfg"])
+        import jax
+
+        rx.state = jax.tree.map(jnp.asarray, blob["track_state"])
+        for name in cls._CKPT_FIELDS:
+            if blob.get(name) is not None:
+                setattr(rx, name, blob[name])
+        return rx

@@ -252,9 +252,14 @@ class TrackingEngine:
             from ..ops import pallas_chain as pc
 
             w, n = self._fllpll, self._fllpll_n
+            # Mosaic wants native 128-lane vectors: sub-width bool vectors
+            # (e.g. vector<12xi1>) hit unsupported truncations, so the
+            # kernel's channel axis is padded to the lane width; dead lanes
+            # carry active=0 and never merge into live ones
+            self._c_pad = max(128, -(-cfg.n_channels // 128) * 128)
             self._chain_spec = pc.ChainSpec(
                 E=self._chunk_epochs, LW=self._lag_window, K=cfg.n_taps,
-                C=cfg.n_channels, sec_len=self._sec_len,
+                C=self._c_pad, sec_len=self._sec_len,
                 prompt_index=cfg.prompt_index, veml=cfg.veml,
                 sec_data=cfg.sec_data,
                 lag_margin=float(self._lag_margin),
@@ -912,12 +917,22 @@ class TrackingEngine:
                  state.fll_on.astype(i32), state.mode, state.ext_cnt,
                  state.sec_on.astype(i32), state.sec_idx,
                  jnp.broadcast_to(jnp.asarray(limit, i32), state.start.shape)]
-        return fst, jnp.stack(irows)
+        ist = jnp.stack(irows)
+        pad = self._c_pad - self.cfg.n_channels
+        if pad:
+            fst = jnp.pad(fst, ((0, 0), (0, pad)))
+            # dead lanes: active=0; cur_len = t0 so per-epoch time math
+            # stays finite
+            ist = jnp.pad(ist, ((0, 0), (0, pad)))
+            ist = ist.at[2, self.cfg.n_channels:].set(self._t0_int)
+        return fst, ist
 
     def _unpack_rows(self, state: TrackState, fst, ist) -> TrackState:
         from ..ops import pallas_chain as pc
 
         K = self.cfg.n_taps
+        fst = fst[:, : self.cfg.n_channels]
+        ist = ist[:, : self.cfg.n_channels]
         return TrackState(
             active=ist[pc.I_ACTIVE] > 0,
             prn_slot=state.prn_slot,
@@ -965,15 +980,18 @@ class TrackingEngine:
         E = self._chunk_epochs
         Nmax = cfg.epoch_samples_max
         n_samp = samples_p.shape[0]
+        C = cfg.n_channels
 
-        active = ist[pc.I_ACTIVE] > 0
-        start = ist[pc.I_START]
-        cur_len = ist[pc.I_CURLEN]
-        delta0 = fst[pc.F_DELTA]
-        rem0 = fst[pc.F_REM_CODE]
-        dopp0 = fst[pc.F_DOPPLER]
-        coff = fst[pc.F_CARR_OFF]
-        rem_carr0 = fst[pc.F_REM_CARR]
+        # XLA-side window/correlation math runs at the true channel count;
+        # only the kernel boundary is lane-padded
+        active = ist[pc.I_ACTIVE, :C] > 0
+        start = ist[pc.I_START, :C]
+        cur_len = ist[pc.I_CURLEN, :C]
+        delta0 = fst[pc.F_DELTA, :C]
+        rem0 = fst[pc.F_REM_CODE, :C]
+        dopp0 = fst[pc.F_DOPPLER, :C]
+        coff = fst[pc.F_CARR_OFF, :C]
+        rem_carr0 = fst[pc.F_REM_CARR, :C]
 
         codef0 = f32(cfg.chip_rate_chips_s) + delta0
         d_t0 = -(f32(self._t0_int) + f32(self._t0_frac)) * delta0 / codef0
@@ -1012,11 +1030,27 @@ class TrackingEngine:
         zi = jnp.einsum("cen,cln->elc", wiped.imag, rep_rows,
                         preferred_element_type=jnp.float32)
 
+        pad = self._c_pad - C
+        if pad:
+            zr = jnp.pad(zr, ((0, 0), (0, 0), (0, pad)))
+            zi = jnp.pad(zi, ((0, 0), (0, 0), (0, pad)))
+        s_pred_k = jnp.transpose(s_pred[:, :E])
+        step0_k = step0[None]
+        if pad:
+            s_pred_k = jnp.pad(s_pred_k, ((0, 0), (0, pad)))
+            step0_k = jnp.pad(step0_k, ((0, 0), (0, pad)),
+                              constant_values=1.0)
+        if sec_rows.shape[1] != self._c_pad:
+            sec_rows = jnp.pad(
+                sec_rows, ((0, 0), (0, self._c_pad - sec_rows.shape[1])),
+                constant_values=1.0)
         out_f, out_i, out_corr, fst2, ist2 = self._chain_call(
-            zr, zi, jnp.transpose(s_pred[:, :E]), step0[None], sec_rows,
-            fst, ist)
+            zr, zi, s_pred_k, step0_k, sec_rows, fst, ist)
 
         K = cfg.n_taps
+        out_f = out_f[..., :C]
+        out_i = out_i[..., :C]
+        out_corr = out_corr[..., :C]
         corr = jnp.stack([out_corr[:, :K], out_corr[:, K:]], axis=-1)
         outs = TrackOutputs(
             valid=out_f[:, pc.O_VALID] > 0.5,

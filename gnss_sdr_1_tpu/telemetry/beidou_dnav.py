@@ -339,6 +339,8 @@ class DnavDecoder:
         self._sow_s: float | None = None
         self.ephemeris = BeidouEphemeris(prn=prn)
         self.iono = BeidouIono()
+        self.almanacs: dict[int, "BeidouAlmanac"] = {}
+        self.utc: "BeidouUtc | None" = None
         self._have: set[int] = set()
         self._toe_msb: float | None = None
         self._toe_lsb: float | None = None
@@ -417,7 +419,14 @@ class DnavDecoder:
                     # SOW = transmit time of the START of this subframe
                     self._tow_symbol = i
                     self._sow_s = r["sow_s"]
-                    self._extract(r["fra_id"], r["layout"], r["sow_s"])
+                    if r["fra_id"] in (1, 2, 3):
+                        self._extract(r["fra_id"], r["layout"], r["sow_s"])
+                    else:
+                        aux = d1_decode_aux_page(r["fra_id"], r["layout"])
+                        if isinstance(aux, BeidouAlmanac):
+                            self.almanacs[aux.prn] = aux
+                        elif isinstance(aux, BeidouUtc):
+                            self.utc = aux
                     i += SUBFRAME_BITS
                     decoded = True
                     break
@@ -719,3 +728,119 @@ class D2Decoder:
             if not decoded:
                 i += 1 if not self.frame_sync else SUBFRAME_BITS
         self._decoded_until = i
+
+
+# ----------------------------------------------------------------------
+# D1 subframe 4/5: almanac pages + UTC parameters (Beidou_DNAV.h:94-217;
+# beidou_dnav_navigation_message.cc :588-650 page dispatch).  Angles in
+# semicircles like BeidouEphemeris (the reference's PI_TWO_N* scales carry
+# the pi factor; it is omitted here as everywhere else in this module).
+# ----------------------------------------------------------------------
+
+D1_ALM_FIELDS: dict[str, tuple[tuple, float, bool]] = {
+    "sqrt_a": (((51, 2), (61, 22)), 2.0 ** -11, False),
+    "a1": (((91, 11),), 2.0 ** -38, True),
+    "a0": (((102, 11),), 2.0 ** -20, True),
+    "omega0": (((121, 22), (151, 2)), 2.0 ** -23, True),
+    "e": (((153, 17),), 2.0 ** -21, False),
+    "delta_i": (((170, 3), (181, 13)), 2.0 ** -19, True),
+    "toa": (((194, 8),), 2.0 ** 12, False),
+    "omega_dot": (((202, 1), (211, 16)), 2.0 ** -38, True),
+    "omega": (((227, 6), (241, 18)), 2.0 ** -23, True),
+    "m0": (((259, 4), (271, 20)), 2.0 ** -23, True),
+}
+
+D1_UTC_FIELDS: dict[str, tuple[tuple, float, bool]] = {
+    "delta_t_ls": (((51, 2), (61, 6)), 1.0, True),
+    "delta_t_lsf": (((67, 8),), 1.0, True),
+    "wn_lsf": (((75, 8),), 1.0, False),
+    "a0utc": (((91, 22), (121, 10)), 2.0 ** -30, True),
+    "a1utc": (((131, 12), (151, 12)), 2.0 ** -50, True),
+    "dn": (((163, 8),), 1.0, False),
+}
+
+_D1_PNUM_SPEC = ((44, 7),)
+
+
+@dataclasses.dataclass
+class BeidouAlmanac:
+    """D1 almanac page (Beidou_Dnav_Almanac analogue); semicircle angles,
+    delta_i relative to the 0.30-semicircle reference inclination."""
+
+    prn: int = 0
+    sqrt_a: float = 0.0
+    a0: float = 0.0
+    a1: float = 0.0
+    omega0: float = 0.0
+    e: float = 0.0
+    delta_i: float = 0.0
+    toa: float = 0.0
+    omega_dot: float = 0.0
+    omega: float = 0.0
+    m0: float = 0.0
+
+
+@dataclasses.dataclass
+class BeidouUtc:
+    """BDT-UTC correction (Beidou_Dnav_Utc_Model, subframe 5 page 10)."""
+
+    a0: float = 0.0
+    a1: float = 0.0
+    delta_t_ls: int = 0
+    wn_lsf: int = 0
+    dn: int = 0
+    delta_t_lsf: int = 0
+    valid: bool = False
+
+
+def encode_d1_page_bits(fra_id: int, pnum: int, sow_s: float,
+                        fields: dict[str, float],
+                        field_map: dict | None = None) -> np.ndarray:
+    """Transmitted subframe-4/5 page (almanac or UTC) fixture."""
+    layout = np.zeros(SUBFRAME_BITS, dtype=np.int64)
+    layout[:11] = D1_PREAMBLE
+    _write_bits(layout, ((16, 3),), fra_id)
+    _write_bits(layout, ((19, 8), (31, 12)), int(sow_s))
+    _write_bits(layout, _D1_PNUM_SPEC, pnum)
+    fmap = field_map or (D1_UTC_FIELDS if (fra_id == 5 and pnum == 10)
+                         else D1_ALM_FIELDS)
+    for name, value in fields.items():
+        spec, lsb, signed = fmap[name]
+        write_field(layout, spec, lsb, signed, value)
+    out = []
+    for w in range(10):
+        word = layout[w * 30 : (w + 1) * 30]
+        if w == 0:
+            out.append(np.concatenate(
+                [word[:26], bch1511_encode(word[15:26])[11:]]))
+        else:
+            out.append(encode_word(word[:22]))
+    return np.concatenate(out)
+
+
+def d1_decode_aux_page(fra_id: int, layout: np.ndarray):
+    """Subframe 4/5 page -> (BeidouAlmanac | BeidouUtc | None).
+
+    Subframe 4 pages 1-24 carry almanac for PRNs 1-24; subframe 5 pages
+    1-6 for PRNs 25-30, page 10 the UTC model (:920-933)."""
+    pnum = _read_bits(layout, _D1_PNUM_SPEC)
+    if fra_id == 5 and pnum == 10:
+        f = {name: read_field(layout, *spec_lsb_signed)
+             for name, spec_lsb_signed in
+             ((n, v) for n, v in D1_UTC_FIELDS.items())}
+        return BeidouUtc(a0=f["a0utc"], a1=f["a1utc"],
+                         delta_t_ls=int(f["delta_t_ls"]),
+                         wn_lsf=int(f["wn_lsf"]), dn=int(f["dn"]),
+                         delta_t_lsf=int(f["delta_t_lsf"]), valid=True)
+    prn = None
+    if fra_id == 4 and 1 <= pnum <= 24:
+        prn = pnum
+    elif fra_id == 5 and 1 <= pnum <= 6:
+        prn = 24 + pnum
+    if prn is None:
+        return None
+    f = {name: read_field(layout, *spec) for name, spec in
+         D1_ALM_FIELDS.items()}
+    if f["sqrt_a"] == 0.0:
+        return None               # empty page
+    return BeidouAlmanac(prn=prn, **f)

@@ -226,6 +226,7 @@ class GnavDecoder:
         self.slot = slot
         self._soft: list[float] = []
         self.ephemeris = GlonassEphemeris(slot=slot)
+        self.aux = GnavAux()          # UTC (string 5) + almanac (6-15)
         self.strings: set[int] = set()
         self.string_sync = False
         self._sync_offset: int | None = None
@@ -283,6 +284,8 @@ class GnavDecoder:
             bits = symbols_to_string(syms)
             if bits is not None:
                 sid = decode_string(bits, self.ephemeris)
+                if sid is not None and sid >= 5:
+                    decode_string_aux(bits, self.aux)
                 if sid is not None:
                     self.strings.add(sid)
                     if sid == 1:
@@ -291,3 +294,135 @@ class GnavDecoder:
                         self._tow_symbol = self._decoded_until
                         self._tod_s = self.ephemeris.tk_s
             self._decoded_until += 200
+
+
+# ----------------------------------------------------------------------
+# String 5 (UTC/time-scale) + almanac string pairs 6/8/10/12/14 (even) and
+# 7/9/11/13/15 (odd) — glonass_gnav_navigation_message.cc :407-501, bit
+# tables GLONASS_L1_L2_CA.h:304-324.  The reference reads these fields as
+# two's complement (read_navigation_signed); angles are stored in radians
+# (the reference multiplies the semicircle LSBs by GLONASS_PI).
+# ----------------------------------------------------------------------
+
+_GLO_PI = 3.1415926535898
+
+
+def _tc_encode(value: float, scale: float, width: int) -> int:
+    return int(round(value / (2.0 ** scale))) & ((1 << width) - 1)
+
+
+def _tc_decode(v: int, scale: float, width: int) -> float:
+    if v & (1 << (width - 1)):
+        v -= 1 << width
+    return v * (2.0 ** scale)
+
+
+@dataclasses.dataclass
+class GlonassUtc:
+    """GLONASS time-scale corrections (Glonass_Gnav_Utc_Model,
+    glonass_gnav_utc_model.h): string 5."""
+
+    n_a: int = 0               # calendar day number within 4-year period
+    tau_c: float = 0.0         # GLONASS->UTC(SU) [s]
+    n_4: int = 0               # 4-year interval number
+    tau_gps: float = 0.0       # GPS-GLONASS time offset [s]
+    valid: bool = False
+
+
+@dataclasses.dataclass
+class GlonassAlmanac:
+    """Per-slot GNAV almanac (Glonass_Gnav_Almanac,
+    glonass_gnav_almanac.h): one even/odd string pair."""
+
+    slot: int = 0              # n_A
+    c_n: int = 0               # health flag
+    m_n: int = 0               # satellite type
+    tau_n: float = 0.0         # coarse clock [s]
+    lambda_n: float = 0.0      # longitude of ascending node [rad]
+    delta_i_n: float = 0.0     # inclination correction vs 63 deg [rad]
+    epsilon_n: float = 0.0     # eccentricity
+    omega_n: float = 0.0       # argument of perigee [rad]
+    t_lambda_n: float = 0.0    # time of ascending node crossing [s]
+    delta_t_n: float = 0.0     # draconic period correction [s/orbit]
+    delta_t_dot_n: float = 0.0
+    h_n: int = 0               # frequency channel code (k+32 for k<0)
+    l_n: int = 0
+
+    @property
+    def freq_channel_k(self) -> int:
+        """H_n code -> FDMA k (reference :489-492)."""
+        return self.h_n - 32 if self.h_n > 24 else self.h_n
+
+
+@dataclasses.dataclass
+class GnavAux:
+    utc: GlonassUtc = dataclasses.field(default_factory=GlonassUtc)
+    almanacs: dict = dataclasses.field(default_factory=dict)
+    _stage: dict = dataclasses.field(default_factory=dict)
+
+
+def encode_string_aux(string_id: int, aux: GnavAux,
+                      alm: "GlonassAlmanac | None" = None) -> np.ndarray:
+    """Encode string 5 (UTC) or an almanac even/odd string (6-15)."""
+    b = np.zeros(STRING_BITS, dtype=np.int64)
+    _put(b, 2, 4, string_id)
+    if string_id == 5:
+        u = aux.utc
+        _put(b, 6, 11, u.n_a)
+        _put(b, 17, 32, _tc_encode(u.tau_c, -31, 32))
+        _put(b, 50, 5, u.n_4)
+        _put(b, 55, 22, _tc_encode(u.tau_gps, -30, 22))
+    elif string_id in (6, 8, 10, 12, 14):
+        a = alm
+        _put(b, 6, 1, a.c_n)
+        _put(b, 7, 2, a.m_n)
+        _put(b, 9, 5, a.slot)
+        _put(b, 14, 10, int(round(a.tau_n / 2.0 ** -18)))
+        _put(b, 24, 21, _tc_encode(a.lambda_n / _GLO_PI, -20, 21))
+        _put(b, 45, 18, _tc_encode(a.delta_i_n / _GLO_PI, -20, 18))
+        _put(b, 63, 15, int(round(a.epsilon_n / 2.0 ** -20)))
+    elif string_id in (7, 9, 11, 13, 15):
+        a = alm
+        _put(b, 6, 16, _tc_encode(a.omega_n / _GLO_PI, -15, 16))
+        _put(b, 22, 21, int(round(a.t_lambda_n / 2.0 ** -5)))
+        _put(b, 43, 22, _tc_encode(a.delta_t_n, -9, 22))
+        _put(b, 65, 7, _tc_encode(a.delta_t_dot_n, -14, 7))
+        _put(b, 72, 5, a.h_n)
+        _put(b, 77, 1, a.l_n)
+    return hamming_encode(b)
+
+
+def decode_string_aux(b: np.ndarray, aux: GnavAux) -> int | None:
+    """Parse string 5 / almanac strings into `aux` (Hamming-checked);
+    returns the string id or None.  Almanac pairs join when the odd string
+    follows its even one (flag_almanac_str_N staging, :479)."""
+    if not hamming_check(b):
+        return None
+    sid = _get(b, 2, 4)
+    if sid == 5:
+        aux.utc = GlonassUtc(
+            n_a=_get(b, 6, 11),
+            tau_c=_tc_decode(_get(b, 17, 32), -31, 32),
+            n_4=_get(b, 50, 5),
+            tau_gps=_tc_decode(_get(b, 55, 22), -30, 22),
+            valid=True)
+    elif sid in (6, 8, 10, 12, 14):
+        aux._stage["even"] = {
+            "sid": sid,
+            "c_n": _get(b, 6, 1), "m_n": _get(b, 7, 2),
+            "slot": _get(b, 9, 5),
+            "tau_n": _get(b, 14, 10) * 2.0 ** -18,
+            "lambda_n": _tc_decode(_get(b, 24, 21), -20, 21) * _GLO_PI,
+            "delta_i_n": _tc_decode(_get(b, 45, 18), -20, 18) * _GLO_PI,
+            "epsilon_n": _get(b, 63, 15) * 2.0 ** -20}
+    elif sid in (7, 9, 11, 13, 15):
+        ev = aux._stage.pop("even", None)
+        if ev is not None and ev.pop("sid") == sid - 1 and ev["slot"]:
+            aux.almanacs[ev["slot"]] = GlonassAlmanac(
+                omega_n=_tc_decode(_get(b, 6, 16), -15, 16) * _GLO_PI,
+                t_lambda_n=_get(b, 22, 21) * 2.0 ** -5,
+                delta_t_n=_tc_decode(_get(b, 43, 22), -9, 22),
+                delta_t_dot_n=_tc_decode(_get(b, 65, 7), -14, 7),
+                h_n=_get(b, 72, 5),
+                l_n=_get(b, 77, 1), **ev)
+    return sid

@@ -252,6 +252,7 @@ class InavDecoder:
         self.prn = prn
         self._soft: list[float] = []
         self.ephemeris = GalileoEphemeris(prn=prn)
+        self.aux = InavAux()          # iono/UTC/almanac (words 5-10)
         self.words: set[int] = set()
         self.page_sync = False
         self._sync_offset: int | None = None
@@ -322,6 +323,8 @@ class InavDecoder:
             if check_page_crc(even, odd):
                 word = np.concatenate([even[2:114], odd[2:18]])
                 wtype = decode_word(word, self.ephemeris)
+                if 5 <= wtype <= 10:
+                    decode_aux_word(word, self.aux)
                 self.words.add(wtype)
                 if wtype == 5 and self.ephemeris.tow > 0:
                     # GST TOW corresponds to the START of this page's even
@@ -329,3 +332,254 @@ class InavDecoder:
                     self._tow_symbol = i
                     self._tow_s = self.ephemeris.tow
             self._decoded_until += 2 * PART_SYMBOLS
+
+
+# ----------------------------------------------------------------------
+# Word types 5-10 auxiliary data: iono, GST-UTC, almanac, GST-GPS
+# (galileo_navigation_message.cc :730-955; bit tables Galileo_E1.h:165-295,
+# positions here 0-based = reference's 1-based minus one)
+# ----------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GalileoIono:
+    """NeQuick-G broadcast coefficients (word 5; Galileo_Iono analogue)."""
+
+    ai0: float = 0.0          # sfu
+    ai1: float = 0.0          # sfu/deg
+    ai2: float = 0.0          # sfu/deg^2
+    region_flags: tuple = (False,) * 5
+    valid: bool = False
+
+
+@dataclasses.dataclass
+class GalileoUtc:
+    """GST-UTC (word 6) + GST-GPS (word 10) conversion (Galileo_Utc_Model
+    + the A_0G/A_1G members the reference keeps in Galileo_Almanac)."""
+
+    a0: float = 0.0
+    a1: float = 0.0
+    delta_t_ls: int = 0
+    t0t: float = 0.0
+    wn0t: int = 0
+    wn_lsf: int = 0
+    dn: int = 0
+    delta_t_lsf: int = 0
+    a0_g: float = 0.0         # GST-GPS
+    a1_g: float = 0.0
+    t0_g: float = 0.0
+    wn0_g: int = 0
+    valid: bool = False
+
+
+@dataclasses.dataclass
+class GalileoAlmanac:
+    """Reduced-precision almanac satellite (words 7-10; Galileo_Almanac).
+    delta_sqrt_a is relative to sqrt(A_nominal) = sqrt(29600 km);
+    delta_i relative to 56 deg; angles in semicircles."""
+
+    prn: int = 0
+    ioda: int = 0
+    wna: int = 0
+    t0a: float = 0.0
+    delta_sqrt_a: float = 0.0
+    e: float = 0.0
+    omega: float = 0.0
+    delta_i: float = 0.0
+    omega0: float = 0.0
+    omega_dot: float = 0.0
+    m0: float = 0.0
+    af0: float = 0.0
+    af1: float = 0.0
+    e5b_hs: int = 0
+    e1b_hs: int = 0
+
+
+@dataclasses.dataclass
+class InavAux:
+    """Accumulator for word 5-10 auxiliary data; almanac fragments join
+    across word pairs (7+8, 8+9, 9+10) like the reference's flag_almanac_N
+    staging."""
+
+    iono: GalileoIono = dataclasses.field(default_factory=GalileoIono)
+    utc: GalileoUtc = dataclasses.field(default_factory=GalileoUtc)
+    bgd_e1e5a: float = 0.0
+    bgd_e1e5b: float = 0.0
+    almanacs: dict = dataclasses.field(default_factory=dict)
+    _stage: dict = dataclasses.field(default_factory=dict)
+
+
+def encode_aux_word(wtype: int, aux: InavAux, wn: int = 0,
+                    tow: float = 0.0) -> np.ndarray:
+    """Encode word types 5/6/7/8/9/10 from an InavAux (test/siggen
+    fixture).  Almanac slots: aux._stage['sats'] = [alm1, alm2, alm3]."""
+    b = np.zeros(128, dtype=np.int64)
+    _put(b, 0, 6, wtype)
+    sats = aux._stage.get("sats", [GalileoAlmanac()] * 3)
+    a1, a2, a3 = (sats + [GalileoAlmanac()] * 3)[:3]
+    if wtype == 5:
+        io = aux.iono
+        _put(b, 6, 11, _q(io.ai0, -2))
+        _put(b, 17, 11, _q(io.ai1, -8))
+        _put(b, 28, 14, _q(io.ai2, -15))
+        for j, f in enumerate(io.region_flags[:5]):
+            _put(b, 42 + j, 1, int(f))
+        _put(b, 47, 10, _q(aux.bgd_e1e5a, -32))
+        _put(b, 57, 10, _q(aux.bgd_e1e5b, -32))
+        _put(b, 73, 12, wn)
+        _put(b, 85, 20, int(tow))
+    elif wtype == 6:
+        u = aux.utc
+        _put(b, 6, 32, _q(u.a0, -30))
+        _put(b, 38, 24, _q(u.a1, -50))
+        _put(b, 62, 8, u.delta_t_ls)
+        _put(b, 70, 8, int(u.t0t / 3600.0))
+        _put(b, 78, 8, u.wn0t)
+        _put(b, 86, 8, u.wn_lsf)
+        _put(b, 94, 3, u.dn)
+        _put(b, 97, 8, u.delta_t_lsf)
+        _put(b, 105, 20, int(tow))
+    elif wtype == 7:
+        _put(b, 6, 4, a1.ioda)
+        _put(b, 10, 2, a1.wna)
+        _put(b, 12, 10, int(a1.t0a / 600.0))
+        _put(b, 22, 6, a1.prn)
+        _put(b, 28, 13, _q(a1.delta_sqrt_a, -9))
+        _put(b, 41, 11, _q(a1.e, -16))
+        _put(b, 52, 16, _q(a1.omega, -15))
+        _put(b, 68, 11, _q(a1.delta_i, -14))
+        _put(b, 79, 16, _q(a1.omega0, -15))
+        _put(b, 95, 11, _q(a1.omega_dot, -33))
+        _put(b, 106, 16, _q(a1.m0, -15))
+    elif wtype == 8:
+        _put(b, 6, 4, a1.ioda)
+        _put(b, 10, 16, _q(a1.af0, -19))
+        _put(b, 26, 13, _q(a1.af1, -38))
+        _put(b, 39, 2, a1.e5b_hs)
+        _put(b, 41, 2, a1.e1b_hs)
+        _put(b, 43, 6, a2.prn)
+        _put(b, 49, 13, _q(a2.delta_sqrt_a, -9))
+        _put(b, 62, 11, _q(a2.e, -16))
+        _put(b, 73, 16, _q(a2.omega, -15))
+        _put(b, 89, 11, _q(a2.delta_i, -14))
+        _put(b, 100, 16, _q(a2.omega0, -15))
+        _put(b, 116, 11, _q(a2.omega_dot, -33))
+    elif wtype == 9:
+        _put(b, 6, 4, a2.ioda)
+        _put(b, 10, 2, a2.wna)
+        _put(b, 12, 10, int(a2.t0a / 600.0))
+        _put(b, 22, 16, _q(a2.m0, -15))
+        _put(b, 38, 16, _q(a2.af0, -19))
+        _put(b, 54, 13, _q(a2.af1, -38))
+        _put(b, 67, 2, a2.e5b_hs)
+        _put(b, 69, 2, a2.e1b_hs)
+        _put(b, 71, 6, a3.prn)
+        _put(b, 77, 13, _q(a3.delta_sqrt_a, -9))
+        _put(b, 90, 11, _q(a3.e, -16))
+        _put(b, 101, 16, _q(a3.omega, -15))
+        _put(b, 117, 11, _q(a3.delta_i, -14))
+    elif wtype == 10:
+        u = aux.utc
+        _put(b, 6, 4, a3.ioda)
+        _put(b, 10, 16, _q(a3.omega0, -15))
+        _put(b, 26, 11, _q(a3.omega_dot, -33))
+        _put(b, 37, 16, _q(a3.m0, -15))
+        _put(b, 53, 16, _q(a3.af0, -19))
+        _put(b, 69, 13, _q(a3.af1, -38))
+        _put(b, 82, 2, a3.e5b_hs)
+        _put(b, 84, 2, a3.e1b_hs)
+        _put(b, 86, 16, _q(u.a0_g, -35))
+        _put(b, 102, 12, _q(u.a1_g, -51))
+        _put(b, 114, 8, int(u.t0_g / 3600.0))
+        _put(b, 122, 6, u.wn0_g)
+    return b
+
+
+def decode_aux_word(b: np.ndarray, aux: InavAux) -> int:
+    """Parse word types 5-10 into `aux`; returns the word type.  Almanac
+    satellites complete when both their word fragments have arrived with
+    matching IODa."""
+    wtype = _get(b, 0, 6)
+    st = aux._stage
+    if wtype == 5:
+        aux.iono = GalileoIono(
+            ai0=_get(b, 6, 11) * 2.0**-2,
+            ai1=_get(b, 17, 11, signed=True) * 2.0**-8,
+            ai2=_get(b, 28, 14, signed=True) * 2.0**-15,
+            region_flags=tuple(bool(_get(b, 42 + j, 1)) for j in range(5)),
+            valid=True)
+        aux.bgd_e1e5a = _get(b, 47, 10, signed=True) * 2.0**-32
+        aux.bgd_e1e5b = _get(b, 57, 10, signed=True) * 2.0**-32
+    elif wtype == 6:
+        gg = aux.utc
+        aux.utc = GalileoUtc(
+            a0=_get(b, 6, 32, signed=True) * 2.0**-30,
+            a1=_get(b, 38, 24, signed=True) * 2.0**-50,
+            delta_t_ls=_get(b, 62, 8, signed=True),
+            t0t=_get(b, 70, 8) * 3600.0,
+            wn0t=_get(b, 78, 8),
+            wn_lsf=_get(b, 86, 8),
+            dn=_get(b, 94, 3),
+            delta_t_lsf=_get(b, 97, 8, signed=True),
+            a0_g=gg.a0_g, a1_g=gg.a1_g, t0_g=gg.t0_g, wn0_g=gg.wn0_g,
+            valid=True)
+    elif wtype == 7:
+        st["w7"] = {
+            "ioda": _get(b, 6, 4), "wna": _get(b, 10, 2),
+            "t0a": _get(b, 12, 10) * 600.0, "prn": _get(b, 22, 6),
+            "delta_sqrt_a": _get(b, 28, 13, signed=True) * 2.0**-9,
+            "e": _get(b, 41, 11) * 2.0**-16,
+            "omega": _get(b, 52, 16, signed=True) * 2.0**-15,
+            "delta_i": _get(b, 68, 11, signed=True) * 2.0**-14,
+            "omega0": _get(b, 79, 16, signed=True) * 2.0**-15,
+            "omega_dot": _get(b, 95, 11, signed=True) * 2.0**-33,
+            "m0": _get(b, 106, 16, signed=True) * 2.0**-15}
+    elif wtype == 8:
+        ioda = _get(b, 6, 4)
+        w7 = st.get("w7")
+        if w7 is not None and w7["ioda"] == ioda and w7["prn"]:
+            aux.almanacs[w7["prn"]] = GalileoAlmanac(
+                af0=_get(b, 10, 16, signed=True) * 2.0**-19,
+                af1=_get(b, 26, 13, signed=True) * 2.0**-38,
+                e5b_hs=_get(b, 39, 2), e1b_hs=_get(b, 41, 2), **w7)
+        st["w8"] = {
+            "ioda": ioda, "prn": _get(b, 43, 6),
+            "delta_sqrt_a": _get(b, 49, 13, signed=True) * 2.0**-9,
+            "e": _get(b, 62, 11) * 2.0**-16,
+            "omega": _get(b, 73, 16, signed=True) * 2.0**-15,
+            "delta_i": _get(b, 89, 11, signed=True) * 2.0**-14,
+            "omega0": _get(b, 100, 16, signed=True) * 2.0**-15,
+            "omega_dot": _get(b, 116, 11, signed=True) * 2.0**-33}
+    elif wtype == 9:
+        ioda = _get(b, 6, 4)
+        wna = _get(b, 10, 2)
+        t0a = _get(b, 12, 10) * 600.0
+        w8 = st.get("w8")
+        if w8 is not None and w8["ioda"] == ioda and w8["prn"]:
+            aux.almanacs[w8["prn"]] = GalileoAlmanac(
+                wna=wna, t0a=t0a,
+                m0=_get(b, 22, 16, signed=True) * 2.0**-15,
+                af0=_get(b, 38, 16, signed=True) * 2.0**-19,
+                af1=_get(b, 54, 13, signed=True) * 2.0**-38,
+                e5b_hs=_get(b, 67, 2), e1b_hs=_get(b, 69, 2), **w8)
+        st["w9"] = {
+            "ioda": ioda, "wna": wna, "t0a": t0a, "prn": _get(b, 71, 6),
+            "delta_sqrt_a": _get(b, 77, 13, signed=True) * 2.0**-9,
+            "e": _get(b, 90, 11) * 2.0**-16,
+            "omega": _get(b, 101, 16, signed=True) * 2.0**-15,
+            "delta_i": _get(b, 117, 11, signed=True) * 2.0**-14}
+    elif wtype == 10:
+        ioda = _get(b, 6, 4)
+        w9 = st.get("w9")
+        if w9 is not None and w9["ioda"] == ioda and w9["prn"]:
+            aux.almanacs[w9["prn"]] = GalileoAlmanac(
+                omega0=_get(b, 10, 16, signed=True) * 2.0**-15,
+                omega_dot=_get(b, 26, 11, signed=True) * 2.0**-33,
+                m0=_get(b, 37, 16, signed=True) * 2.0**-15,
+                af0=_get(b, 53, 16, signed=True) * 2.0**-19,
+                af1=_get(b, 69, 13, signed=True) * 2.0**-38,
+                e5b_hs=_get(b, 82, 2), e1b_hs=_get(b, 84, 2), **w9)
+        aux.utc.a0_g = _get(b, 86, 16, signed=True) * 2.0**-35
+        aux.utc.a1_g = _get(b, 102, 12, signed=True) * 2.0**-51
+        aux.utc.t0_g = _get(b, 114, 8) * 3600.0
+        aux.utc.wn0_g = _get(b, 122, 6)
+    return wtype

@@ -3,6 +3,12 @@
 Reference parity: src/algorithms/libs/gps_l2c_signal.cc.  L2CM is a
 10230-chip sequence from a 27-stage modular (Galois) shift register; per-PRN
 initial states are ICD Table 3-II data (codes/data/icd_tables.npz).
+
+Scope note: the reference implements only the L2CM (data) code — there is
+no L2CL generator anywhere in gnss-sdr (gps_l2c_signal.{h,cc} exports
+gps_l2c_m_code_gen_* only; the dataless L2CL pilot is never tracked).
+This build matches that scope; adding L2CL needs only the Table 3-II
+L2CL initial-state column and a 767250-chip run of the same register.
 """
 
 from __future__ import annotations

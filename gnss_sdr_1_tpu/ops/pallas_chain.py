@@ -356,9 +356,12 @@ def _make_kernel(spec: ChainSpec):
             still_active = active & (lock_fail <= spec.max_lock_fail)
 
             epochs_in_track = ist[I_EPOCHS] + 1
-            fll_still_on = fll_on & jnp.where(
-                narrow, push_count < spec.fll_narrow_windows,
-                epochs_in_track < spec.fll_epochs)
+            # Mosaic cannot select between i1 vectors (lowers via an
+            # unsupported i8->i1 truncation) — select as i32 and compare
+            fll_still_on = fll_on & (jnp.where(
+                narrow,
+                (push_count < spec.fll_narrow_windows).astype(jnp.int32),
+                (epochs_in_track < spec.fll_epochs).astype(jnp.int32)) > 0)
             turnoff = narrow & fll_on & ~fll_still_on
             if spec.order == 3:
                 seed_w = jnp.zeros_like(doppler_m)

@@ -162,6 +162,13 @@ class Scenario:
     t0_tow: float              # GPS TOW at receiver sample 0
     bits_tow0: float           # TOW at bit-stream index 0 (subframe boundary)
     truth: dict[int, dict]    # per-PRN delay/doppler truth at t=0
+    # constant receiver velocity (dynamic scenarios; position_test.cc's
+    # Spirent motion analogue) — truth position at t is rx_ecef + t*vel
+    rx_vel_ecef: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+
+    def rx_at(self, t_since_t0: float) -> np.ndarray:
+        return self.rx_ecef + t_since_t0 * self.rx_vel_ecef
 
 
 def build_scenario(
@@ -177,6 +184,7 @@ def build_scenario(
     subframe_cycle: tuple[int, ...] = (1, 2, 3, 4, 5),
     signal: str = "1C",
     fdma_ks: dict[int, int] | None = None,
+    rx_vel_ecef: np.ndarray | None = None,
 ) -> Scenario:
     """Build consistent SatParams + ephemerides for `prns` visible from
     rx_ecef.  Orbit planes/anomalies default to a spread that puts the
@@ -192,6 +200,12 @@ def build_scenario(
     sats: list[SatParams] = []
     ephs: dict[int, GpsEphemeris] = {}
     truth: dict[int, dict] = {}
+    _vel = (np.zeros(3) if rx_vel_ecef is None
+            else np.asarray(rx_vel_ecef, float))
+
+    def _rx_at(t_rx: float) -> np.ndarray:
+        """Receiver ECEF at GPS receive time (constant-velocity motion)."""
+        return rx_ecef + (t_rx - t0_tow) * _vel
     n = len(prns)
     if raans is None or anomalies is None:
         raans, anomalies = _auto_place(rx_ecef, prns, toe, t0_tow)
@@ -241,13 +255,14 @@ def build_scenario(
                     c, s = np.cos(th), np.sin(th)
                     pr = np.array([c * p[0] + s * p[1],
                                    -s * p[0] + c * p[1], p[2]])
-                    tau = np.linalg.norm(pr - rx_ecef) / SPEED_OF_LIGHT_M_S
+                    tau = np.linalg.norm(
+                        pr - _rx_at(t_rx)) / SPEED_OF_LIGHT_M_S
                 return tau - glonass_clock_correction(_g, t_rx - tau)
         else:
             ephs[prn] = eph
 
             def observed(t_rx, _e=eph):
-                return observed_delay_s(_e, rx_ecef, t_rx)
+                return observed_delay_s(_e, _rx_at(t_rx), t_rx)
         # cubic fit of observed delay over the run (the quadratic residual
         # of a MEO pass over 24 s is meters; cubic leaves centimeters)
         ts = np.linspace(0.0, duration_s, 5)
@@ -358,4 +373,6 @@ def build_scenario(
             "doppler_rate_hz_s": doppler_rate,
         }
     return Scenario(sats=sats, ephemerides=ephs, rx_ecef=rx_ecef,
-                    t0_tow=t0_tow, bits_tow0=bits_tow0, truth=truth)
+                    t0_tow=t0_tow, bits_tow0=bits_tow0, truth=truth,
+                    rx_vel_ecef=(np.zeros(3) if rx_vel_ecef is None
+                                 else np.asarray(rx_vel_ecef, float)))

@@ -280,12 +280,16 @@ class KfTrackingEngine:
         doppler = state.x[:, 1]
         carr_step = f32(_TWO_PI) * doppler / f32(cfg.fs_hz)
         # phase state is the NCO phase at epoch start (d_rem_carr_phase_rad
-        # = kf_x(0), :786)
+        # = kf_x(0), :786); order 3 feeds the Doppler-rate state into the
+        # correlator's quadratic phase term — the high-dynamics resampler
+        # variant (volk ..._resampler with phase-rate, dll_pll high_dyn)
         carr_phase = state.x[:, 0]
+        carr_rate = (f32(_TWO_PI) * state.x[:, 2] / f32(cfg.fs_hz) ** 2
+                     if self.cfg.order == 3 else jnp.zeros_like(carr_step))
         corr = jax.vmap(
-            multicorrelate, in_axes=(0, 0, None, 0, 0, 0, 0, None, 0)
+            multicorrelate, in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0)
         )(segs, self._codes[state.prn_slot], self._shifts, code_step,
-          rem_code_chips, carr_phase, carr_step, f32(0.0),
+          rem_code_chips, carr_phase, carr_step, carr_rate,
           state.cur_len.astype(f32))                     # [C, 3] complex
         prompt = corr[:, 1]
 

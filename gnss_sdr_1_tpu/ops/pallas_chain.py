@@ -137,6 +137,12 @@ def _make_kernel(spec: ChainSpec):
     f32 = jnp.float32
     half_n = spec.ext_n // 2
 
+    # float32 carry tuple layout (loop state as individual [C] vectors —
+    # a row-matrix carry costs an extract + shape_cast per read and a
+    # 27-row concatenate per epoch in Mosaic; the tuple form measured ~2x
+    # faster for the whole kernel)
+    NF = n_frows(K)
+
     def kernel(zr_ref, zi_ref, s_pred_ref, step0_ref, sec_ref,
                fst_ref, ist_ref,
                out_f_ref, out_i_ref, out_corr_ref,
@@ -144,22 +150,42 @@ def _make_kernel(spec: ChainSpec):
         step0 = step0_ref[0]
         sec_rows = sec_ref[...]                       # [sec_len, C]
         C = step0.shape[-1]
+        lag_col = jax.lax.broadcasted_iota(f32, (LW, C), 0)
 
         fst0 = fst_ref[...]
         ist0 = ist_ref[...]
+        carr_off = fst0[F_CARR_OFF]
+        limit = ist0[I_LIMIT]
+        mode0 = ist0[I_MODE]
+        sec_on0 = ist0[I_SEC_ON]
+
+        carry0 = (
+            # f32 block
+            fst0[F_REM_CODE], fst0[F_DELTA], fst0[F_DOPPLER],
+            fst0[F_REM_CARR], fst0[F_CARR_W], fst0[F_CARR_X],
+            fst0[F_PREV_R], fst0[F_PREV_I],
+            fst0[F_SABSI], fst0[F_SI2], fst0[F_SQ2], fst0[F_CN0],
+            fst0[F_ACCH_R], fst0[F_ACCH_I],
+            tuple(fst0[F_DLL_IN0 + j] for j in range(3)),
+            tuple(fst0[F_DLL_OUT0 + j] for j in range(3)),
+            tuple(fst0[F_ACC_R0 + k] for k in range(K)),
+            tuple(fst0[F_ACC_R0 + K + k] for k in range(K)),
+            # i32 block
+            ist0[I_ACTIVE], ist0[I_START], ist0[I_CURLEN], ist0[I_PUSH],
+            ist0[I_LOCKFAIL], ist0[I_EPOCHS], ist0[I_FLL_ON],
+            ist0[I_EXTCNT], ist0[I_SEC_IDX],
+            # ledger
+            jnp.zeros_like(step0),
+        )
 
         def body(kk, carry):
-            fst, ist, dphi = carry
-            active = ist[I_ACTIVE] > 0
-            start = ist[I_START]
-            cur_len = ist[I_CURLEN]
-            valid = active & (start < ist[I_LIMIT])
+            (rem_code, delta, doppler, rem_carr, cw, cx, prev_r, prev_i,
+             sabsi0, si20, sq20, cn0_old, acch_r, acch_i, din, dout,
+             accr0, acci0, active_i, start, cur_len, push_count0,
+             lockfail0, epochs0, fllon_i, extcnt0, sec_idx, dphi) = carry
+            active = active_i > 0
+            valid = active & (start < limit)
             validf = valid.astype(f32)
-
-            rem_code = fst[F_REM_CODE]
-            delta = fst[F_DELTA]
-            doppler = fst[F_DOPPLER]
-            carr_off = fst[F_CARR_OFF]
 
             # ---- tap read at the TRUE code phase (engine._chunk_step) ----
             d_s = (start - s_pred_ref[kk]).astype(f32)
@@ -171,14 +197,9 @@ def _make_kernel(spec: ChainSpec):
             for k in range(K):
                 pos = (f32(spec.lag_margin) + rem_eff
                        - f32(spec.shifts_chips[k] * spec.spc_samples))
-                tr = jnp.zeros((C,), f32)
-                ti = jnp.zeros((C,), f32)
-                for l in range(LW):
-                    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - f32(l)))
-                    tr = tr + zr[l] * w
-                    ti = ti + zi[l] * w
-                taps_r.append(tr)
-                taps_i.append(ti)
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[None, :] - lag_col))
+                taps_r.append(jnp.sum(zr * w, axis=0))
+                taps_i.append(jnp.sum(zi * w, axis=0))
 
             # ---- rotate into the true-NCO frame ----
             step_true = f32(_TWO_PI) * (doppler + carr_off) / f32(spec.fs)
@@ -190,14 +211,13 @@ def _make_kernel(spec: ChainSpec):
 
             # =============== loop closure (engine._loop_update) ===========
             t_epoch = cur_len.astype(f32) / f32(spec.fs)
-            sec_on = ist[I_SEC_ON] > 0
-            sec_idx = ist[I_SEC_IDX]
-            # one-hot secondary chip (no per-lane gather in Mosaic)
+            sec_on = sec_on0 > 0
             if spec.sec_len > 1:
                 idx_c = jnp.minimum(sec_idx, spec.sec_len - 1)
-                sec_chip = jnp.zeros((C,), f32)
-                for j in range(spec.sec_len):
-                    sec_chip = sec_chip + sec_rows[j] * (idx_c == j).astype(f32)
+                row_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, (spec.sec_len, C), 0)
+                onehot = (row_idx == idx_c[None, :]).astype(f32)
+                sec_chip = jnp.sum(sec_rows * onehot, axis=0)
             else:
                 sec_chip = sec_rows[0]
             s = jnp.where(sec_on, sec_chip, f32(1.0))
@@ -205,11 +225,11 @@ def _make_kernel(spec: ChainSpec):
             cw_i = [corr_i[k] * s for k in range(K)]
             pw_r, pw_i = cw_r[P], cw_i[P]
 
-            narrow = ist[I_MODE] >= 1
+            narrow = mode0 >= 1
             narrow_f = narrow.astype(f32)
-            acc_r = [fst[F_ACC_R0 + k] + cw_r[k] for k in range(K)]
-            acc_i = [fst[F_ACC_R0 + K + k] + cw_i[k] for k in range(K)]
-            cnt = ist[I_EXTCNT] + 1
+            acc_r = [accr0[k] + cw_r[k] for k in range(K)]
+            acc_i = [acci0[k] + cw_i[k] for k in range(K)]
+            cnt = extcnt0 + 1
             boundary = narrow & (cnt >= spec.ext_n)
             upd = (~narrow) | boundary
             disc_r = [jnp.where(narrow, acc_r[k], cw_r[k]) for k in range(K)]
@@ -220,7 +240,6 @@ def _make_kernel(spec: ChainSpec):
                               t_epoch)
 
             # --- carrier discriminators (A.3) ---
-            prev_r, prev_i = fst[F_PREV_R], fst[F_PREV_I]
             costas = jnp.where(
                 dp_r != 0.0,
                 atan2_f32(dp_i * jnp.sign(dp_r), jnp.abs(dp_r)),
@@ -233,7 +252,6 @@ def _make_kernel(spec: ChainSpec):
             dot = prev_r * pw_r + prev_i * pw_i
             cross = prev_r * pw_i - pw_r * prev_i
             freq_err_hz = atan2_f32(cross, dot) / t_epoch / f32(_TWO_PI)
-            acch_r, acch_i = fst[F_ACCH_R], fst[F_ACCH_I]
             t_half = f32(half_n * spec.code_period_s)
             p2_r = acc_r[P] - acch_r
             p2_i = acc_i[P] - acch_i
@@ -246,8 +264,7 @@ def _make_kernel(spec: ChainSpec):
                 / jnp.maximum(t_half, f32(1e-6)) / f32(_TWO_PI),
                 f32(0.0))
 
-            fll_on = ist[I_FLL_ON] > 0
-            push_count0 = ist[I_PUSH]
+            fll_on = fllon_i > 0
             pll_in = carr_err_cyc
             fll_in = jnp.where(fll_on & ~narrow & (push_count0 > 0),
                                freq_err_hz, f32(0.0))
@@ -262,7 +279,6 @@ def _make_kernel(spec: ChainSpec):
             a2 = _sel(narrow_f, spec.wide[5], spec.narrow[5])
             a3 = _sel(narrow_f, spec.wide[6], spec.narrow[6])
             b3 = _sel(narrow_f, spec.wide[7], spec.narrow[7])
-            cw, cx = fst[F_CARR_W], fst[F_CARR_X]
             if spec.order == 3:
                 w_new = cw + t_int * (w0p3 * pll_in + w0f2 * fll_in)
                 x_new = cx + t_int * (0.5 * w_new + a2 * w0f * fll_in
@@ -291,22 +307,20 @@ def _make_kernel(spec: ChainSpec):
                   for j in range(4)]
             bo = [_sel(narrow_f, spec.dll_b_out[j], spec.dll_b_out_n[j])
                   for j in range(3)]
-            din = [fst[F_DLL_IN0 + j] for j in range(3)]
-            dout = [fst[F_DLL_OUT0 + j] for j in range(3)]
             code_err_filt = (bo[0] * dout[0] + bo[1] * dout[1]
                              + bo[2] * dout[2] + bi[0] * code_err
                              + bi[1] * din[0] + bi[2] * din[1]
                              + bi[3] * din[2])
-            din_new = [code_err, din[0], din[1]]
-            dout_new = [code_err_filt, dout[0], dout[1]]
+            din_new = (code_err, din[0], din[1])
+            dout_new = (code_err_filt, dout[0], dout[1])
 
             app = valid & upd
             appf = app.astype(f32)
             mrg = lambda n, o: jnp.where(app, n, o)
             cw_m = mrg(w_new, cw)
             cx_m = mrg(x_new, cx)
-            din_m = [mrg(din_new[j], din[j]) for j in range(3)]
-            dout_m = [mrg(dout_new[j], dout[j]) for j in range(3)]
+            din_m = tuple(mrg(din_new[j], din[j]) for j in range(3))
+            dout_m = tuple(mrg(dout_new[j], dout[j]) for j in range(3))
             doppler_m = mrg(doppler_new, doppler)
             delta_m = mrg(f32(spec.chip_rate) / f32(spec.carrier_freq)
                           * doppler_new - code_err_filt, delta)
@@ -321,13 +335,13 @@ def _make_kernel(spec: ChainSpec):
             rem_code_new = frac - frac_floor
             carr_step_new = f32(_TWO_PI) * (doppler_m + carr_off) / f32(spec.fs)
             rem_carr_new = jnp.mod(
-                fst[F_REM_CARR] + carr_step_new * next_len.astype(f32),
+                rem_carr + carr_step_new * next_len.astype(f32),
                 f32(_TWO_PI))
 
             # --- CN0 / lock supervision on window accumulators (A.7) ---
-            s_absi = fst[F_SABSI] + appf * jnp.abs(dp_r)
-            s_i2 = fst[F_SI2] + appf * dp_r * dp_r
-            s_q2 = fst[F_SQ2] + appf * dp_i * dp_i
+            s_absi = sabsi0 + appf * jnp.abs(dp_r)
+            s_i2 = si20 + appf * dp_r * dp_r
+            s_q2 = sq20 + appf * dp_i * dp_i
             push_count = push_count0 + app.astype(jnp.int32)
             window_done = app & (
                 jnp.mod(push_count, spec.cn0_samples) == 0)
@@ -340,7 +354,7 @@ def _make_kernel(spec: ChainSpec):
             cn0 = (10.0 * jnp.log10(jnp.maximum(psig / noise, f32(1e-10)))
                    - 10.0 * jnp.log10(t_cn0))
             carrier_lock = (s_i2 - s_q2) / jnp.maximum(s_i2 + s_q2, f32(_TINY))
-            cn0_last = jnp.where(window_done, cn0, fst[F_CN0])
+            cn0_last = jnp.where(window_done, cn0, cn0_old)
             hist_full = push_count >= spec.cn0_samples
             s_absi = jnp.where(window_done, 0.0, s_absi)
             s_i2 = jnp.where(window_done, 0.0, s_i2)
@@ -350,12 +364,11 @@ def _make_kernel(spec: ChainSpec):
                                 | (carrier_lock < spec.carrier_lock_th))
             ok = check_now & ~fail
             lock_fail = jnp.where(
-                fail, ist[I_LOCKFAIL] + 1,
-                jnp.where(ok, jnp.maximum(ist[I_LOCKFAIL] - 1, 0),
-                          ist[I_LOCKFAIL]))
+                fail, lockfail0 + 1,
+                jnp.where(ok, jnp.maximum(lockfail0 - 1, 0), lockfail0))
             still_active = active & (lock_fail <= spec.max_lock_fail)
 
-            epochs_in_track = ist[I_EPOCHS] + 1
+            epochs_in_track = epochs0 + 1
             # Mosaic cannot select between i1 vectors (lowers via an
             # unsupported i8->i1 truncation) — select as i32 and compare
             fll_still_on = fll_on & (jnp.where(
@@ -383,53 +396,20 @@ def _make_kernel(spec: ChainSpec):
 
             # --- merge by valid (engine merges every leaf) ---
             mv = lambda n, o: jnp.where(valid, n, o)
-            mvf = lambda n, o: jnp.where(valid, n, o)
-            fst_new = jnp.concatenate([
-                mvf(rem_code_new, rem_code)[None],
-                mvf(delta_m, delta)[None],
-                mvf(doppler_m, doppler)[None],
-                mvf(rem_carr_new, fst[F_REM_CARR])[None],
-                mvf(cw_m, cw)[None],
-                mvf(cx_m, cx)[None],
-                mvf(pw_r, prev_r)[None],
-                mvf(pw_i, prev_i)[None],
-                mvf(s_absi, fst[F_SABSI])[None],
-                mvf(s_i2, fst[F_SI2])[None],
-                mvf(s_q2, fst[F_SQ2])[None],
-                mvf(cn0_last, fst[F_CN0])[None],
-                mvf(acch_r_new, acch_r)[None],
-                mvf(acch_i_new, acch_i)[None],
-                carr_off[None],
-            ] + [mvf(din_m[j], din[j])[None] for j in range(3)]
-              + [mvf(dout_m[j], dout[j])[None] for j in range(3)]
-              + [mvf(acc_r_new[k], fst[F_ACC_R0 + k])[None] for k in range(K)]
-              + [mvf(acc_i_new[k], fst[F_ACC_R0 + K + k])[None]
-                 for k in range(K)], axis=0)
-
-            ist_new = jnp.concatenate([
-                mv(still_active.astype(jnp.int32), ist[I_ACTIVE])[None],
-                mv(start + cur_len, start)[None],
-                mv(next_len, cur_len)[None],
-                mv(push_count, push_count0)[None],
-                mv(lock_fail, ist[I_LOCKFAIL])[None],
-                mv(epochs_in_track, ist[I_EPOCHS])[None],
-                mv(fll_still_on.astype(jnp.int32), ist[I_FLL_ON])[None],
-                ist[I_MODE][None],
-                mv(jnp.where(reset_acc, 0, cnt), ist[I_EXTCNT])[None],
-                ist[I_SEC_ON][None],
-                mv(jnp.mod(sec_idx + 1, spec.sec_len), sec_idx)[None],
-                ist[I_LIMIT][None],
-            ], axis=0)
+            merged_dopp = mv(doppler_m, doppler)
+            merged_active = mv(still_active.astype(jnp.int32), active_i)
+            merged_cn0 = mv(cn0_last, cn0_old)
+            merged_delta = mv(delta_m, delta)
+            merged_rem_code = mv(rem_code_new, rem_code)
+            merged_rem_carr = mv(rem_carr_new, rem_carr)
+            new_cur = mv(next_len, cur_len)
 
             # --- per-epoch outputs (TrackOutputs rows) ---
-            merged_dopp = mvf(doppler_m, doppler)
-            merged_active = mv(still_active.astype(jnp.int32), ist[I_ACTIVE])
-            merged_cn0 = mvf(cn0_last, fst[F_CN0])
             out_f_ref[kk] = jnp.concatenate([
                 merged_dopp[None],
-                mvf(delta_m, delta)[None],
-                mvf(rem_code_new, rem_code)[None],
-                mvf(rem_carr_new, fst[F_REM_CARR])[None],
+                merged_delta[None],
+                merged_rem_code[None],
+                merged_rem_carr[None],
                 jnp.where(valid & hist_full, merged_cn0, f32(0.0))[None],
                 validf[None],
                 merged_active.astype(f32)[None],
@@ -442,19 +422,51 @@ def _make_kernel(spec: ChainSpec):
 
             # --- frozen-vs-true phase ledger (engine._chunk_step tail) ---
             step_new = f32(_TWO_PI) * (merged_dopp + carr_off) / f32(spec.fs)
-            new_cur = mv(next_len, cur_len)
             dphi_next = (dphi + step_new * new_cur.astype(f32)
                          - step0 * cur_len.astype(f32))
             dphi = jnp.where(
                 valid,
                 jnp.mod(dphi_next + f32(_PI), f32(_TWO_PI)) - f32(_PI),
                 dphi)
-            return fst_new, ist_new, dphi
 
-        fst, ist, _ = jax.lax.fori_loop(
-            0, E, body, (fst0, ist0, jnp.zeros_like(step0)))
-        fst_out_ref[...] = fst
-        ist_out_ref[...] = ist
+            return (
+                merged_rem_code, merged_delta, merged_dopp, merged_rem_carr,
+                mv(cw_m, cw), mv(cx_m, cx),
+                mv(pw_r, prev_r), mv(pw_i, prev_i),
+                mv(s_absi, sabsi0), mv(s_i2, si20), mv(s_q2, sq20),
+                merged_cn0,
+                mv(acch_r_new, acch_r), mv(acch_i_new, acch_i),
+                din_m, dout_m,
+                tuple(mv(acc_r_new[k], accr0[k]) for k in range(K)),
+                tuple(mv(acc_i_new[k], acci0[k]) for k in range(K)),
+                merged_active, mv(start + cur_len, start), new_cur,
+                mv(push_count, push_count0), mv(lock_fail, lockfail0),
+                mv(epochs_in_track, epochs0),
+                mv(fll_still_on.astype(jnp.int32), fllon_i),
+                mv(jnp.where(reset_acc, 0, cnt), extcnt0),
+                mv(jnp.mod(sec_idx + 1, spec.sec_len), sec_idx),
+                dphi,
+            )
+
+        c = jax.lax.fori_loop(0, E, body, carry0)
+        (rem_code, delta, doppler, rem_carr, cw, cx, prev_r, prev_i,
+         sabsi, si2, sq2, cn0_last, acch_r, acch_i, din, dout, accr, acci,
+         active_i, start, cur_len, push, lockfail, epochs, fllon_i,
+         extcnt, sec_idx, _dphi) = c
+        fst_out_ref[...] = jnp.concatenate(
+            [rem_code[None], delta[None], doppler[None], rem_carr[None],
+             cw[None], cx[None], prev_r[None], prev_i[None],
+             sabsi[None], si2[None], sq2[None], cn0_last[None],
+             acch_r[None], acch_i[None], carr_off[None]]
+            + [din[j][None] for j in range(3)]
+            + [dout[j][None] for j in range(3)]
+            + [accr[k][None] for k in range(K)]
+            + [acci[k][None] for k in range(K)], axis=0)
+        ist_out_ref[...] = jnp.concatenate(
+            [active_i[None], start[None], cur_len[None], push[None],
+             lockfail[None], epochs[None], fllon_i[None], mode0[None],
+             extcnt[None], sec_on0[None], sec_idx[None], limit[None]],
+            axis=0)
 
     return kernel
 

@@ -66,9 +66,13 @@ def main(argv=None) -> int:
     from .pvt import printers
 
     frontend = None
+    rinex_version = 3
     if args.config_file:
         conf = FileConfiguration(args.config_file)
         rcfg = to_receiver_config(conf)
+        # PVT.rinex_version (rinex_printer.cc:106 d_version): 2 -> 2.11
+        rinex_version = 2 if str(conf.property(
+            "PVT.rinex_version", "3")).strip().startswith("2") else 3
         frontend = build_frontend(conf)
         signal_file = args.signal_file or conf.property(
             "SignalSource.filename", "")
@@ -204,14 +208,16 @@ def main(argv=None) -> int:
             obs_txt = [printers.rinex_obs_header(
                 approx_xyz=sols[-1].rx_ecef_m,
                 signals=(rcfg.signal_id,),
-                glonass_slots=dict(rcfg.fdma_k) or None)]
+                glonass_slots=dict(rcfg.fdma_k) or None,
+                version=rinex_version)]
             for tow, obs in rx.obs_epochs:
                 obs_txt.append(printers.rinex_obs_epoch(week, tow, {
                     p: {"pseudorange_m": o.pseudorange_m,
                         "carrier_phase_cycles": o.carrier_phase_cycles,
                         "doppler_hz": o.doppler_hz,
                         "cn0_dbhz": o.cn0_dbhz}
-                    for p, o in obs.items()}, signal=rcfg.signal_id))
+                    for p, o in obs.items()}, signal=rcfg.signal_id,
+                    version=rinex_version))
             (out / "observables.rnx").write_text("".join(obs_txt))
         # nav records use each system's NATIVE broadcast model (the Galileo
         # adapter converts to Keplerian for the solver; RINEX wants I/NAV)
@@ -223,8 +229,13 @@ def main(argv=None) -> int:
                          for d in rx.decoders.values()
                          if getattr(getattr(d, "iono", None), "valid",
                                     False)), None)
-            nav = printers.rinex_nav_header(iono=iono) + "".join(
-                printers.rinex_nav_record(e) for e in ephs.values())
+            # 2.11 nav is a GPS-only file type; non-GPS systems keep 3.02
+            nav_ver = rinex_version if rcfg.signal_id in (
+                "1C", "2S", "L5") else 3
+            nav = printers.rinex_nav_header(
+                iono=iono, version=nav_ver) + "".join(
+                printers.rinex_nav_record(e, version=nav_ver)
+                for e in ephs.values())
             (out / "brdc.rnx").write_text(nav)
         # RTCM 3.2 stream: station + ephemerides + MSM7 epochs
         # (rtcm_printer.cc Print_Rtcm_MSM / Print_Rtcm_MT1019)

@@ -132,6 +132,8 @@ def _sel(narrow_f, wide_v, narrow_v):
 
 
 def _make_kernel(spec: ChainSpec):
+    from jax.experimental import pallas as pl
+
     E, LW, K = spec.E, spec.LW, spec.K
     P = spec.prompt_index
     f32 = jnp.float32
@@ -147,33 +149,44 @@ def _make_kernel(spec: ChainSpec):
                fst_ref, ist_ref,
                out_f_ref, out_i_ref, out_corr_ref,
                fst_out_ref, ist_out_ref):
-        step0 = step0_ref[0]
+        # EVERY per-channel vector in this kernel is rank-2 [1, C], and
+        # every state row is loaded from a [ROWS, 1, C] ref so each row is
+        # its OWN (1, C) tile at sublane offset 0.  Two Mosaic performance/
+        # correctness cliffs force this: (a) layout inference crashes
+        # joining a rank-1 native layout with a rank-2 implicit one
+        # (layout.h VectorLayout::join check 1 vs 2), and (b) a [1, C]
+        # slice row i of a [ROWS, C] ref lives at sublane offset i%8, so
+        # every op mixing rows inserts a vreg relayout — measured 350 us
+        # per epoch vs ~2 us with tile-aligned rows
+        step0 = step0_ref[...]                        # [1, C]
         sec_rows = sec_ref[...]                       # [sec_len, C]
         C = step0.shape[-1]
-        lag_col = jax.lax.broadcasted_iota(f32, (LW, C), 0)
+        # tpu.iota only produces integer vectors — iota as i32 then convert
+        lag_col = jax.lax.broadcasted_iota(
+            jnp.int32, (LW, C), 0).astype(f32)
 
-        fst0 = fst_ref[...]
-        ist0 = ist_ref[...]
-        carr_off = fst0[F_CARR_OFF]
-        limit = ist0[I_LIMIT]
-        mode0 = ist0[I_MODE]
-        sec_on0 = ist0[I_SEC_ON]
+        frow = lambda i: fst_ref[i]                   # [1, C] f32, aligned
+        irow = lambda i: ist_ref[i]                   # [1, C] i32, aligned
+        carr_off = frow(F_CARR_OFF)
+        limit = irow(I_LIMIT)
+        mode0 = irow(I_MODE)
+        sec_on0 = irow(I_SEC_ON)
 
         carry0 = (
             # f32 block
-            fst0[F_REM_CODE], fst0[F_DELTA], fst0[F_DOPPLER],
-            fst0[F_REM_CARR], fst0[F_CARR_W], fst0[F_CARR_X],
-            fst0[F_PREV_R], fst0[F_PREV_I],
-            fst0[F_SABSI], fst0[F_SI2], fst0[F_SQ2], fst0[F_CN0],
-            fst0[F_ACCH_R], fst0[F_ACCH_I],
-            tuple(fst0[F_DLL_IN0 + j] for j in range(3)),
-            tuple(fst0[F_DLL_OUT0 + j] for j in range(3)),
-            tuple(fst0[F_ACC_R0 + k] for k in range(K)),
-            tuple(fst0[F_ACC_R0 + K + k] for k in range(K)),
+            frow(F_REM_CODE), frow(F_DELTA), frow(F_DOPPLER),
+            frow(F_REM_CARR), frow(F_CARR_W), frow(F_CARR_X),
+            frow(F_PREV_R), frow(F_PREV_I),
+            frow(F_SABSI), frow(F_SI2), frow(F_SQ2), frow(F_CN0),
+            frow(F_ACCH_R), frow(F_ACCH_I),
+            tuple(frow(F_DLL_IN0 + j) for j in range(3)),
+            tuple(frow(F_DLL_OUT0 + j) for j in range(3)),
+            tuple(frow(F_ACC_R0 + k) for k in range(K)),
+            tuple(frow(F_ACC_R0 + K + k) for k in range(K)),
             # i32 block
-            ist0[I_ACTIVE], ist0[I_START], ist0[I_CURLEN], ist0[I_PUSH],
-            ist0[I_LOCKFAIL], ist0[I_EPOCHS], ist0[I_FLL_ON],
-            ist0[I_EXTCNT], ist0[I_SEC_IDX],
+            irow(I_ACTIVE), irow(I_START), irow(I_CURLEN), irow(I_PUSH),
+            irow(I_LOCKFAIL), irow(I_EPOCHS), irow(I_FLL_ON),
+            irow(I_EXTCNT), irow(I_SEC_IDX),
             # ledger
             jnp.zeros_like(step0),
         )
@@ -188,7 +201,10 @@ def _make_kernel(spec: ChainSpec):
             validf = valid.astype(f32)
 
             # ---- tap read at the TRUE code phase (engine._chunk_step) ----
-            d_s = (start - s_pred_ref[kk]).astype(f32)
+            # dynamic ref load (Mosaic has no value-level dynamic_slice);
+            # s_pred is [E, 1, C] so the row is tile-aligned
+            s_pred_k = s_pred_ref[kk]                 # [1, C]
+            d_s = (start - s_pred_k).astype(f32)
             rem_eff = (d_s + rem_code) * (1.0 + delta / f32(spec.chip_rate))
             zr = zr_ref[kk]                           # [LW, C]
             zi = zi_ref[kk]
@@ -197,9 +213,9 @@ def _make_kernel(spec: ChainSpec):
             for k in range(K):
                 pos = (f32(spec.lag_margin) + rem_eff
                        - f32(spec.shifts_chips[k] * spec.spc_samples))
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[None, :] - lag_col))
-                taps_r.append(jnp.sum(zr * w, axis=0))
-                taps_i.append(jnp.sum(zi * w, axis=0))
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - lag_col))
+                taps_r.append(jnp.sum(zr * w, axis=0, keepdims=True))
+                taps_i.append(jnp.sum(zi * w, axis=0, keepdims=True))
 
             # ---- rotate into the true-NCO frame ----
             step_true = f32(_TWO_PI) * (doppler + carr_off) / f32(spec.fs)
@@ -216,10 +232,10 @@ def _make_kernel(spec: ChainSpec):
                 idx_c = jnp.minimum(sec_idx, spec.sec_len - 1)
                 row_idx = jax.lax.broadcasted_iota(
                     jnp.int32, (spec.sec_len, C), 0)
-                onehot = (row_idx == idx_c[None, :]).astype(f32)
-                sec_chip = jnp.sum(sec_rows * onehot, axis=0)
+                onehot = (row_idx == idx_c).astype(f32)
+                sec_chip = jnp.sum(sec_rows * onehot, axis=0, keepdims=True)
             else:
-                sec_chip = sec_rows[0]
+                sec_chip = sec_rows[0:1]
             s = jnp.where(sec_on, sec_chip, f32(1.0))
             cw_r = [corr_r[k] * s for k in range(K)]
             cw_i = [corr_i[k] * s for k in range(K)]
@@ -404,21 +420,20 @@ def _make_kernel(spec: ChainSpec):
             merged_rem_carr = mv(rem_carr_new, rem_carr)
             new_cur = mv(next_len, cur_len)
 
-            # --- per-epoch outputs (TrackOutputs rows) ---
+            # --- per-epoch outputs (TrackOutputs rows; all [1, C]) ---
             out_f_ref[kk] = jnp.concatenate([
-                merged_dopp[None],
-                merged_delta[None],
-                merged_rem_code[None],
-                merged_rem_carr[None],
-                jnp.where(valid & hist_full, merged_cn0, f32(0.0))[None],
-                validf[None],
-                merged_active.astype(f32)[None],
+                merged_dopp,
+                merged_delta,
+                merged_rem_code,
+                merged_rem_carr,
+                jnp.where(valid & hist_full, merged_cn0, f32(0.0)),
+                validf,
+                merged_active.astype(f32),
             ], axis=0)
-            out_i_ref[kk] = jnp.concatenate(
-                [start[None], cur_len[None]], axis=0)
+            out_i_ref[kk] = jnp.concatenate([start, cur_len], axis=0)
             out_corr_ref[kk] = jnp.concatenate(
-                [(validf * corr_r[k])[None] for k in range(K)]
-                + [(validf * corr_i[k])[None] for k in range(K)], axis=0)
+                [validf * corr_r[k] for k in range(K)]
+                + [validf * corr_i[k] for k in range(K)], axis=0)
 
             # --- frozen-vs-true phase ledger (engine._chunk_step tail) ---
             step_new = f32(_TWO_PI) * (merged_dopp + carr_off) / f32(spec.fs)
@@ -453,20 +468,22 @@ def _make_kernel(spec: ChainSpec):
          sabsi, si2, sq2, cn0_last, acch_r, acch_i, din, dout, accr, acci,
          active_i, start, cur_len, push, lockfail, epochs, fllon_i,
          extcnt, sec_idx, _dphi) = c
-        fst_out_ref[...] = jnp.concatenate(
-            [rem_code[None], delta[None], doppler[None], rem_carr[None],
-             cw[None], cx[None], prev_r[None], prev_i[None],
-             sabsi[None], si2[None], sq2[None], cn0_last[None],
-             acch_r[None], acch_i[None], carr_off[None]]
-            + [din[j][None] for j in range(3)]
-            + [dout[j][None] for j in range(3)]
-            + [accr[k][None] for k in range(K)]
-            + [acci[k][None] for k in range(K)], axis=0)
-        ist_out_ref[...] = jnp.concatenate(
-            [active_i[None], start[None], cur_len[None], push[None],
-             lockfail[None], epochs[None], fllon_i[None], mode0[None],
-             extcnt[None], sec_on0[None], sec_idx[None], limit[None]],
-            axis=0)
+        # per-row tile-aligned stores into the [ROWS, 1, C] out refs
+        f_rows = ([rem_code, delta, doppler, rem_carr,
+                   cw, cx, prev_r, prev_i,
+                   sabsi, si2, sq2, cn0_last,
+                   acch_r, acch_i, carr_off]
+                  + [din[j] for j in range(3)]
+                  + [dout[j] for j in range(3)]
+                  + [accr[k] for k in range(K)]
+                  + [acci[k] for k in range(K)])
+        for j, r in enumerate(f_rows):
+            fst_out_ref[j] = r
+        i_rows = [active_i, start, cur_len, push,
+                  lockfail, epochs, fllon_i, mode0,
+                  extcnt, sec_on0, sec_idx, limit]
+        for j, r in enumerate(i_rows):
+            ist_out_ref[j] = r
 
     return kernel
 
@@ -485,14 +502,24 @@ def make_chain_call(spec: ChainSpec, interpret: bool = False):
     E, LW, K, C = spec.E, spec.LW, spec.K, spec.C
     SF = n_frows(K)
     kernel = _make_kernel(spec)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((E, N_OROWS, C), jnp.float32),
             jax.ShapeDtypeStruct((E, 2, C), jnp.int32),
             jax.ShapeDtypeStruct((E, 2 * K, C), jnp.float32),
-            jax.ShapeDtypeStruct((SF, C), jnp.float32),
-            jax.ShapeDtypeStruct((N_IROWS, C), jnp.int32),
+            # state rows travel as [ROWS, 1, C]: one (1, C) tile per row
+            # so in-kernel loads/stores are sublane-aligned (see kernel)
+            jax.ShapeDtypeStruct((SF, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((N_IROWS, 1, C), jnp.int32),
         ),
         interpret=interpret,
     )
+
+    def run(zr, zi, s_pred, step0, sec_rows, fst, ist):
+        out_f, out_i, out_corr, fst2, ist2 = call(
+            zr, zi, s_pred[:, None, :], step0, sec_rows,
+            fst[:, None, :], ist[:, None, :])
+        return out_f, out_i, out_corr, fst2[:, 0], ist2[:, 0]
+
+    return run

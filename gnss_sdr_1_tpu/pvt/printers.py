@@ -3,9 +3,16 @@
 Reference parity: src/algorithms/PVT/libs/rinex_printer.cc (RINEX 3.02
 multi-constellation obs + nav: GPS LNAV/CNAV, Galileo I/NAV, BeiDou D1,
 GLONASS GNAV state vectors — rinex_printer.cc:850 obs headers, :964 nav
-headers with iono/UTC corrections, :1186 per-system records),
-nmea_printer.cc (GPGGA/GPRMC), kml_printer.cc, gpx_printer.cc,
-geojson_printer.cc.
+headers with iono/UTC corrections, :1186 per-system records; the legacy
+RINEX 2.11 writers selected by `PVT.rinex_version=2`, rinex_printer.cc:106
+`d_version` and the `version == 2` branches of rinex_obs_header /
+log_rinex_obs / rinex_nav_header), nmea_printer.cc (GPGGA/GPRMC),
+kml_printer.cc, gpx_printer.cc, geojson_printer.cc.
+
+All RINEX writers take `version` (3 -> 3.02, 2 -> 2.11); 2.11 uses the
+two-character observation codes, the single shared `# / TYPES OF OBSERV`
+list, `yy`-style epoch lines with the A1I2 satellite roster, and the
+GPS-only `N: GPS NAV DATA` broadcast format.
 """
 
 from __future__ import annotations
@@ -52,29 +59,58 @@ _OBS_CODES = {
 }
 
 
+def _v2_obs_types(signals: tuple[str, ...]) -> list[str]:
+    """RINEX 2.11 two-character observation codes: one shared list for
+    every system in the file (spec Table A1; rinex_printer.cc version==2
+    obs-type branch).  Derived from the 3.02 codes by dropping the
+    attribute character, de-duplicated in first-seen order."""
+    seen: list[str] = []
+    for sig in signals:
+        for code in _OBS_CODES[sig][1]:
+            c2 = code[:2]
+            if c2 not in seen:
+                seen.append(c2)
+    return seen
+
+
 def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
                      approx_xyz: np.ndarray | None = None,
                      signals: tuple[str, ...] = ("1C",),
-                     glonass_slots: dict[int, int] | None = None) -> str:
-    """RINEX 3.02 observation header with per-system SYS / # OBS TYPES
-    lines and GLONASS SLOT/FRQ numbers (rinex_printer.cc:850)."""
+                     glonass_slots: dict[int, int] | None = None,
+                     version: int = 3) -> str:
+    """RINEX observation header.  version=3 -> 3.02 with per-system
+    SYS / # / OBS TYPES lines and GLONASS SLOT/FRQ numbers
+    (rinex_printer.cc:850); version=2 -> 2.11 with the shared
+    `# / TYPES OF OBSERV` list (9 codes per line)."""
     out = io.StringIO()
-    out.write(f"{'3.02':>9}{'':11}{'OBSERVATION DATA':<20}{'M: MIXED':<20}"
-              "RINEX VERSION / TYPE\n")
+    if version == 2:
+        out.write(f"{'2.11':>9}{'':11}{'OBSERVATION DATA':<20}"
+                  f"{'M (MIXED)':<20}RINEX VERSION / TYPE\n")
+    else:
+        out.write(f"{'3.02':>9}{'':11}{'OBSERVATION DATA':<20}{'M: MIXED':<20}"
+                  "RINEX VERSION / TYPE\n")
     out.write(f"{'gnss-sdr-1-tpu':<20}{'':40}PGM / RUN BY / DATE\n")
     out.write(f"{marker:<60}MARKER NAME\n")
     if approx_xyz is not None:
         out.write(f"{approx_xyz[0]:14.4f}{approx_xyz[1]:14.4f}"
                   f"{approx_xyz[2]:14.4f}{'':18}APPROX POSITION XYZ\n")
-    by_sys: dict[str, list[str]] = {}
-    for sig in signals:
-        sysl, codes = _OBS_CODES[sig]
-        by_sys.setdefault(sysl, []).extend(codes)
-    for sysl in sorted(by_sys):
-        codes = by_sys[sysl]
-        body = " ".join(codes)
-        out.write(f"{sysl}  {len(codes):4d} {body:<52}"
-                  "SYS / # / OBS TYPES\n")
+    if version == 2:
+        codes = _v2_obs_types(signals)
+        for i in range(0, len(codes), 9):
+            chunk = codes[i:i + 9]
+            head = f"{len(codes):6d}" if i == 0 else " " * 6
+            body = "".join(f"{c:>6}" for c in chunk)
+            out.write(f"{head}{body:<54}# / TYPES OF OBSERV\n")
+    else:
+        by_sys: dict[str, list[str]] = {}
+        for sig in signals:
+            sysl, codes = _OBS_CODES[sig]
+            by_sys.setdefault(sysl, []).extend(codes)
+        for sysl in sorted(by_sys):
+            codes = by_sys[sysl]
+            body = " ".join(codes)
+            out.write(f"{sysl}  {len(codes):4d} {body:<52}"
+                      "SYS / # / OBS TYPES\n")
     if glonass_slots:
         ents = "".join(f" R{s:02d} {k:2d}" for s, k in
                        sorted(glonass_slots.items()))
@@ -85,16 +121,39 @@ def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
 
 def rinex_obs_epoch(week: int, tow_s: float,
                     observations: dict[int, dict],
-                    signal: str = "1C") -> str:
+                    signal: str = "1C", version: int = 3) -> str:
     """One observation epoch.  observations: prn -> {pseudorange_m,
     carrier_phase_cycles, doppler_hz, cn0_dbhz}; the satellite letter comes
-    from `signal` (multi-signal epochs: pass keys ('1B', prn) etc.)."""
+    from `signal` (multi-signal epochs: pass keys ('1B', prn) etc.).
+    version=2 writes the 2.11 epoch line (yy + A1I2 satellite roster,
+    12 per line) followed by one observation line per satellite."""
     t = gps_time_to_utc(week, tow_s)
     out = io.StringIO()
+    keys = sorted(observations,
+                  key=lambda k: (k[0], k[1]) if isinstance(k, tuple)
+                  else (signal, k))
+    if version == 2:
+        sats = []
+        for key in keys:
+            sig, prn = key if isinstance(key, tuple) else (signal, key)
+            sats.append(f"{_OBS_CODES[sig][0]}{prn:02d}")
+        head = (f" {t.year % 100:02d} {t.month:2d} {t.day:2d} {t.hour:2d} "
+                f"{t.minute:2d}{t.second + t.microsecond/1e6:11.7f}  0"
+                f"{len(sats):3d}")
+        out.write(head + "".join(sats[:12]) + "\n")
+        for i in range(12, len(sats), 12):
+            out.write(" " * 32 + "".join(sats[i:i + 12]) + "\n")
+        for key in keys:
+            o = observations[key]
+            out.write(f"{o.get('pseudorange_m', 0.0):14.3f}  "
+                      f"{o.get('carrier_phase_cycles', 0.0):14.3f}  "
+                      f"{o.get('doppler_hz', 0.0):14.3f}  "
+                      f"{o.get('cn0_dbhz', 0.0):14.3f}\n")
+        return out.getvalue()
     out.write(f"> {t.year:4d} {t.month:02d} {t.day:02d} {t.hour:02d} "
               f"{t.minute:02d}{t.second + t.microsecond/1e6:11.7f}  0"
               f"{len(observations):3d}\n")
-    for key in sorted(observations, key=str):
+    for key in keys:
         sig, prn = key if isinstance(key, tuple) else (signal, key)
         sysl = _OBS_CODES[sig][0]
         o = observations[key]
@@ -106,10 +165,30 @@ def rinex_obs_epoch(week: int, tow_s: float,
     return out.getvalue()
 
 
-def rinex_nav_header(iono=None, leap_s: int = 18) -> str:
-    """Mixed-GNSS nav header with Klobuchar iono corrections when
-    available (rinex_printer.cc:964 IONOSPHERIC CORR / LEAP SECONDS)."""
+def _d12(x: float) -> str:
+    """2.11 ION ALPHA/BETA D12.4 field."""
+    s = f"{float(x):.4E}"
+    mant, _, exp = s.partition("E")
+    return f"{mant}D{int(exp):+03d}".rjust(12)
+
+
+def rinex_nav_header(iono=None, leap_s: int = 18, version: int = 3) -> str:
+    """Nav header with Klobuchar iono corrections when available.
+    version=3 -> mixed-GNSS 3.02 (rinex_printer.cc:964 IONOSPHERIC CORR /
+    LEAP SECONDS); version=2 -> GPS-only 2.11 (ION ALPHA / ION BETA)."""
     out = io.StringIO()
+    if version == 2:
+        out.write(f"{'2.11':>9}{'':11}{'N: GPS NAV DATA':<20}{'':20}"
+                  "RINEX VERSION / TYPE\n")
+        out.write(f"{'gnss-sdr-1-tpu':<20}{'':40}PGM / RUN BY / DATE\n")
+        if iono is not None and getattr(iono, "valid", False):
+            a = "".join(_d12(getattr(iono, f"alpha{k}")) for k in range(4))
+            b = "".join(_d12(getattr(iono, f"beta{k}")) for k in range(4))
+            out.write(f"{'':2}{a:<58}ION ALPHA\n")
+            out.write(f"{'':2}{b:<58}ION BETA\n")
+        out.write(f"{leap_s:6d}{'':54}LEAP SECONDS\n")
+        out.write(f"{'':60}END OF HEADER\n")
+        return out.getvalue()
     out.write(f"{'3.02':>9}{'':11}{'N: GNSS NAV DATA':<20}{'M: MIXED':<20}"
               "RINEX VERSION / TYPE\n")
     out.write(f"{'gnss-sdr-1-tpu':<20}{'':40}PGM / RUN BY / DATE\n")
@@ -135,11 +214,39 @@ _BDT_EPOCH = datetime.datetime(2006, 1, 1, tzinfo=datetime.timezone.utc)
 _GLO_NT_EPOCH = datetime.datetime(1996, 1, 1, tzinfo=datetime.timezone.utc)
 
 
-def rinex_nav_record(eph) -> str:
+def rinex_nav_record(eph, version: int = 3) -> str:
     """One broadcast record, dispatched on the ephemeris type:
     GPS LNAV/CNAV (Keplerian), Galileo I/NAV, BeiDou D1, GLONASS state
-    vector (rinex_printer.cc:1186 per-system nav writers)."""
+    vector (rinex_printer.cc:1186 per-system nav writers).  version=2
+    writes the 2.11 GPS format (I2 PRN + yy epoch, 3X-indented
+    continuation rows); non-GPS records in a 2.11 file are a caller
+    error (the reference writes them to separate per-system files)."""
     out = io.StringIO()
+    if version == 2:
+        if hasattr(eph, "tb_s") or hasattr(eph, "iod_nav") \
+                or getattr(eph, "system", "G") == "C" \
+                or hasattr(eph, "sat_h1"):
+            raise ValueError(
+                "RINEX 2.11 nav output is GPS-only (N: GPS NAV DATA); "
+                "write other systems to their own 2.11 file types")
+        t = gps_time_to_utc(eph.week + 2048, eph.toc, leap_s=0)
+        out.write(f"{eph.prn:2d} {t.year % 100:02d} {t.month:2d} {t.day:2d} "
+                  f"{t.hour:2d} {t.minute:2d} {float(t.second):4.1f}"
+                  + "".join(_rnx(float(v))
+                            for v in (eph.af0, eph.af1, eph.af2)) + "\n")
+        rows = [
+            (eph.iode, eph.crs, eph.delta_n * np.pi, eph.m0 * np.pi),
+            (eph.cuc, eph.e, eph.cus, eph.sqrt_a),
+            (eph.toe, eph.cic, eph.omega0 * np.pi, eph.cis),
+            (eph.i0 * np.pi, eph.crc, eph.omega * np.pi,
+             eph.omega_dot * np.pi),
+            (eph.idot * np.pi, 1.0, float(eph.week + 2048), 0.0),
+            (2.0, float(eph.sv_health), eph.tgd, float(eph.iodc)),
+            (0.0, 4.0, 0.0, 0.0),
+        ]
+        for row in rows:
+            out.write("   " + "".join(_rnx(float(v)) for v in row) + "\n")
+        return out.getvalue()
     if hasattr(eph, "tb_s"):               # GLONASS (4-line state vector)
         day = _GLO_NT_EPOCH + datetime.timedelta(
             days=max(int(eph.nt_days) - 1, 0), seconds=eph.tb_s)

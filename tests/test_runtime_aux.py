@@ -362,3 +362,41 @@ def test_rinex_obs_multisystem_header_and_epoch():
          ("1B", 11): {"pseudorange_m": 2.4e7},
          ("1G", 5): {"pseudorange_m": 1.9e7}})
     assert "G07" in ep and "E11" in ep and "R05" in ep
+
+
+def test_rinex_v2_obs_and_nav():
+    """RINEX 2.11 writers (PVT.rinex_version=2; rinex_printer.cc d_version==2
+    branches): shared # / TYPES OF OBSERV list, yy epoch line with the A1I2
+    satellite roster, GPS-only N: GPS NAV DATA records."""
+    from gnss_sdr_1_tpu.pvt import printers
+
+    hdr = printers.rinex_obs_header(signals=("1C", "2S", "L5"), version=2)
+    assert "2.11" in hdr and "M (MIXED)" in hdr
+    assert "# / TYPES OF OBSERV" in hdr
+    line = next(l for l in hdr.splitlines() if "TYPES OF OBSERV" in l)
+    # one shared list: C1 L1 D1 S1 C2 L2 D2 S2 C5 is 9 codes -> count field 12
+    assert line[:6] == f"{12:6d}"
+    assert "SYS / # / OBS TYPES" not in hdr
+
+    ep = printers.rinex_obs_epoch(
+        2240, 345601.0,
+        {("1C", 7): {"pseudorange_m": 2.1e7, "cn0_dbhz": 44.0},
+         ("1C", 11): {"pseudorange_m": 2.4e7}}, version=2)
+    lines = ep.splitlines()
+    # 2-digit year, flag 0, 2 sats, roster on the epoch line
+    assert lines[0].endswith("G07G11") and "  0  2" in lines[0]
+    assert len(lines) == 3 and lines[1].startswith(f"{2.1e7:14.3f}")
+
+    eph = make_test_ephemeris(3, toe=345600.0)
+    rec = printers.rinex_nav_record(eph, version=2)
+    lines = rec.splitlines()
+    assert lines[0].startswith(" 3 ") and len(lines) == 8
+    # continuation rows are 3X + 4 D19.12 fields (79 chars)
+    assert all(l.startswith("   ") and len(l) == 79 for l in lines[1:])
+    navh = printers.rinex_nav_header(version=2)
+    assert "N: GPS NAV DATA" in navh and "2.11" in navh
+
+    from gnss_sdr_1_tpu.telemetry.gnav import GlonassEphemeris
+    glo = GlonassEphemeris(slot=5, freq_channel=-3, tb_s=11700.0)
+    with pytest.raises(ValueError):
+        printers.rinex_nav_record(glo, version=2)

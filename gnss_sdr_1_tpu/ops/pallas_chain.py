@@ -132,8 +132,6 @@ def _sel(narrow_f, wide_v, narrow_v):
 
 
 def _make_kernel(spec: ChainSpec):
-    from jax.experimental import pallas as pl
-
     E, LW, K = spec.E, spec.LW, spec.K
     P = spec.prompt_index
     f32 = jnp.float32

@@ -210,34 +210,65 @@ class TrackingEngine:
         # gathers (which serialize on the TPU backend)
         self._lag_margin = 16
         if cfg.correlator in ("fft", "mxu", "pallas"):
+            self._chunk_epochs = cfg.chunk_epochs
+            E = self._chunk_epochs
+            # regular-grid chunk windows: each chunk slices ONE segment per
+            # channel at the frozen epoch grid (start - 2 + k*t0_int) and
+            # the per-epoch drift d' = s_pred - s_reg (a few samples over a
+            # chunk) is folded into the LAG axis — per-(channel,epoch)
+            # dynamic slices unrolled into ~2*C*E tiny kernels per chunk
+            # and dominated the device profile (PERF.md round 4)
+            # s_reg = start - grid_pad: the pad covers the largest NEGATIVE
+            # drift of the true epoch grid vs the regular t0_int stride
+            # (high code freq shortens epochs by up to ~1 sample each, so
+            # s_pred can run up to ~E samples ahead of start + k*t0_int)
+            self._grid_pad = E + 4
+            drift = 2 * E + 10                   # max d' = s_pred - s_reg
+            self._corr_win = cfg.epoch_samples_max + drift   # NW
             F = 1
-            while F < cfg.epoch_samples_max + 2 * self._lag_margin:
+            while F < self._corr_win + 2 * self._lag_margin:
                 F <<= 1
             self._fft_size = F
             a0 = cfg.chip_rate_chips_s * cfg.code_samples_per_chip / cfg.fs_hz
-            n = np.arange(F, dtype=np.float64)
             lv = codes.shape[1]
-            idx = np.mod(np.floor(a0 * (n + self._lag_margin)).astype(np.int64), lv)
-            reps = codes[:, idx].astype(np.float32)         # [slots, F]
-            # static lag read window: pos = margin + rem(<2) + |shift|*s/chip
+            # static lag read window: pos = margin + d'(<drift) + rem(<2)
+            # + |shift|*s/chip
             spc_samples = cfg.fs_hz / cfg.chip_rate_chips_s
             max_shift = max(abs(s) for s in cfg.tap_shifts_chips())
             self._lag_window = int(
-                np.ceil(self._lag_margin + 4 + max_shift * spc_samples)) + 4
-            self._chunk_epochs = cfg.chunk_epochs
+                np.ceil(self._lag_margin + drift + 4
+                        + max_shift * spc_samples)) + 4
+            n = np.arange(F, dtype=np.float64)
+            idx = np.mod(np.floor(a0 * (n + self._lag_margin)).astype(np.int64), lv)
+            reps = codes[:, idx].astype(np.float32)         # [slots, F]
+            # the wiped input is zero beyond NW, so circular lags l < LW
+            # only ever read repF on [0, NW) and the wrap tail [F-LW, F);
+            # overwrite the tail with the code at NEGATIVE phases so the
+            # wrap contribution uses the correctly-phased previous code
+            # period (F mod period != 0 would otherwise shift it)
+            neg = np.arange(-self._lag_window, 0, dtype=np.float64)
+            reps[:, F - self._lag_window:] = codes[:, np.mod(
+                np.floor(a0 * (neg + self._lag_margin)).astype(np.int64),
+                lv)].astype(np.float32)
             if cfg.correlator in ("mxu", "pallas"):
                 # direct MXU correlation: only lag_window lags of the
                 # circular correlation are ever read, so the FFT/IFFT pair
-                # (VPU-bound, F = next pow2 ≥ Nmax) is replaced by ONE
+                # (VPU-bound, F = next pow2 ≥ NW) is replaced by ONE
                 # batched matmul against a precomputed shifted-replica
-                # matrix R[s, l, n] = reps[s, (n - l) mod F] — numerically
-                # identical to ifft(fft(x)·conj(fft(reps)))[..., :LW] for
-                # zero-padded x, but it runs on the systolic array
+                # matrix R[s, l, n] = code((n - l + margin)·a0 mod L) — the
+                # TRUE lv-periodic code at every (lag, sample) pair, so
+                # window samples below the lag index correlate against the
+                # correctly-phased previous code period (the FFT pair wraps
+                # mod F instead, F mod period != 0 — a small wrong-code
+                # contribution over the first `pos` samples of each epoch)
                 LW = self._lag_window
-                Nmax = cfg.epoch_samples_max
-                ngrid = np.arange(Nmax)[None, :] - np.arange(LW)[:, None]
+                ngrid = np.arange(self._corr_win)[None, :] \
+                    - np.arange(LW)[:, None]
+                chip_idx = np.floor(
+                    a0 * (ngrid + self._lag_margin)).astype(np.int64)
                 self._rep_rows = jnp.asarray(
-                    reps[:, np.mod(ngrid, F)])              # [slots, LW, Nmax]
+                    codes[:, np.mod(chip_idx, lv)].astype(
+                        np.float32))                        # [slots, LW, NW]
             else:
                 rep_fft_conj = np.conj(
                     np.fft.fft(reps, axis=1)).astype(np.complex64)
@@ -772,67 +803,108 @@ class TrackingEngine:
 
     # ---------------- device path: chunked batched-FFT correlator ----------------
 
-    def _chunk_step(self, samples_p, state: TrackState, limit):
-        """Process `chunk_epochs` epochs with ONE batched FFT correlation.
+    def _chunk_windows(self, samples_p, state: TrackState):
+        """Shared chunk-window extraction on the REGULAR epoch grid.
 
-        Epoch windows are predicted with the chunk-entry (frozen) NCO rates,
-        correlated as a [C, E, F] batch against the per-slot replica-template
-        FFT, then an unrolled exact per-epoch chain reads each epoch's taps
-        from the lag window at the TRUE code phase and rotates them by the
-        known frozen-vs-true carrier phase difference before closing the
-        loops.  Returns (state, TrackOutputs stacked [E, C, ...])."""
+        One window slice per chunk, one segment slice per channel at
+        s_reg[c, 0] = start_c - grid_pad, then E STATIC windows at stride
+        t0_int — the per-epoch drift d' = s_pred - s_reg (bounded by the
+        chunk drift) is folded into the lag axis, so no per-(channel,epoch)
+        dynamic slices exist (each unrolled to 2 tiny kernels and dominated
+        the device profile).  Returns (wiped [C,E,NW] complex zero-masked
+        outside each epoch's true content, s_reg [C,E] i32, s_pred [C,E+1],
+        len_pred [C,E], step0 [C])."""
         cfg = self.cfg
         f32 = jnp.float32
         E = self._chunk_epochs
-        Nmax = cfg.epoch_samples_max
-        F = self._fft_size
-        LW = self._lag_window
+        NW = self._corr_win
+        t0i = self._t0_int
         n_samp = samples_p.shape[0]
 
         # --- predict epoch starts/lengths under frozen code frequency ---
         delta0 = state.code_freq_delta
         codef0 = f32(cfg.chip_rate_chips_s) + delta0
-        d_t0 = -(f32(self._t0_int) + f32(self._t0_frac)) * delta0 / codef0
+        d_t0 = -(f32(t0i) + f32(self._t0_frac)) * delta0 / codef0
         c_step = f32(self._t0_frac) + d_t0                     # [C]
         k = jnp.arange(E + 1, dtype=f32)                       # epoch index
         # S[0]=start, S[1]=start+cur_len, S[k>=1]=S[1]+(k-1)*t0i+floor(rem0+(k-1)*c)
         r = state.rem_code_phase_samples[:, None] + (k[None, :] - 1.0) * c_step[:, None]
         s_pred = (state.start[:, None] + state.cur_len[:, None]
-                  + (k[None, :].astype(jnp.int32) - 1) * jnp.int32(self._t0_int)
+                  + (k[None, :].astype(jnp.int32) - 1) * jnp.int32(t0i)
                   + jnp.floor(r).astype(jnp.int32))            # [C, E+1]
         s_pred = jnp.concatenate(
             [state.start[:, None], s_pred[:, 1:]], axis=1)
         len_pred = s_pred[:, 1:] - s_pred[:, :-1]              # [C, E]
 
-        # --- one window slice per chunk, then per-(channel,epoch) segments ---
-        win = min(self._win + (E - 1) * (self._t0_int + 2), n_samp)
+        # --- window -> per-channel segment -> static epoch windows ---
+        seg_len = (E - 1) * t0i + NW
+        spread = t0i + 66 + self._grid_pad      # channel start spread
+        need = spread + seg_len
+        # zero-pad the tail so the chunk window fits for EVERY valid epoch
+        # (valid => start < limit <= n_samp - epoch_samples_max): the padded
+        # region is either masked (beyond a valid epoch's content) or
+        # belongs to invalid epochs whose state never merges.  Without it,
+        # m clamps at n_samp - need and later epochs' lag positions fall
+        # outside the lag window (taps read zeros -> loops freewheel).
+        pad_tail = max(0, need - cfg.epoch_samples_max, need - n_samp)
+        if pad_tail:
+            samples_p = jnp.pad(samples_p, ((0, pad_tail), (0, 0)))
+            n_samp += pad_tail
         m = jnp.min(jnp.where(state.active, state.start, jnp.int32(1 << 29)))
-        m = jnp.clip(m, 0, n_samp - win)
-        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
-        off = jnp.clip(s_pred[:, :E] - m, 0, win - Nmax)       # [C, E]
-        segs_p = jax.vmap(jax.vmap(
-            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
-        ))(off)                                                # [C, E, Nmax, 2]
-        segs = unpack_complex(segs_p)
+        m = jnp.clip(m - self._grid_pad, 0, n_samp - need)
+        window = jax.lax.dynamic_slice(samples_p, (m, 0), (need, 2))
+        off = jnp.clip(state.start - self._grid_pad - m, 0, spread)  # [C]
+        seg_p = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(window, (s, 0), (seg_len, 2))
+        )(off)                                                 # [C, seg_len, 2]
+        seg = unpack_complex(seg_p)
+        segs = jnp.stack(
+            [jax.lax.slice_in_dim(seg, kk * t0i, kk * t0i + NW, axis=1)
+             for kk in range(E)], axis=1)                      # [C, E, NW]
+        s_reg = (m + off)[:, None] + (
+            jnp.arange(E, dtype=jnp.int32) * jnp.int32(t0i))[None, :]
 
         # --- frozen-NCO carrier wipe-off across the chunk ---
         step0 = f32(_TWO_PI) * (
             state.carrier_doppler_hz + state.carr_offset_hz) / f32(cfg.fs_hz)
         phi_k = jnp.mod(
             state.rem_carr_phase_rad[:, None]
-            + step0[:, None] * (s_pred[:, :E] - state.start[:, None]).astype(f32),
+            + step0[:, None] * (s_reg - state.start[:, None]).astype(f32),
             f32(_TWO_PI))                                      # [C, E]
-        n = jnp.arange(Nmax, dtype=f32)
+        n = jnp.arange(NW, dtype=f32)
         phase = phi_k[..., None] + step0[:, None, None] * n
         wiped = segs * jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        mask = n[None, None, :] < len_pred[..., None].astype(f32)
+        # mask to each epoch's true content [d', d' + len_pred)
+        dp = (s_pred[:, :E] - s_reg).astype(f32)[..., None]    # [C, E, 1]
+        nn = n[None, None, :]
+        mask = (nn >= dp) & (nn < dp + len_pred[..., None].astype(f32))
         wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
+        return wiped, s_reg, s_pred, len_pred, step0
+
+    def _chunk_step(self, samples_p, state: TrackState, limit):
+        """Process `chunk_epochs` epochs with ONE batched correlation.
+
+        Epoch windows are taken on the regular grid with the chunk-entry
+        (frozen) NCO rates (_chunk_windows), correlated as a [C, E, NW]
+        batch against the per-slot replica bank, then an unrolled exact
+        per-epoch chain reads each epoch's taps from the lag window at the
+        TRUE code phase and rotates them by the known frozen-vs-true
+        carrier phase difference before closing the loops.  Returns
+        (state, TrackOutputs stacked [E, C, ...])."""
+        cfg = self.cfg
+        f32 = jnp.float32
+        E = self._chunk_epochs
+        F = self._fft_size
+        LW = self._lag_window
+
+        wiped, s_reg, s_pred, len_pred, step0 = self._chunk_windows(
+            samples_p, state)
 
         # --- batched circular correlation, lag window only ---
         if cfg.correlator == "mxu":
             # one real batched matmul per I/Q plane on the MXU — identical
             # math to the FFT pair below restricted to the first LW lags
-            rep_rows = self._rep_rows[state.prn_slot]          # [C, LW, Nmax]
+            rep_rows = self._rep_rows[state.prn_slot]          # [C, LW, NW]
             zr = jnp.einsum("cen,cln->cel", wiped.real, rep_rows,
                             preferred_element_type=jnp.float32)
             zi = jnp.einsum("cen,cln->cel", wiped.imag, rep_rows,
@@ -858,8 +930,8 @@ class TrackingEngine:
         for kk in range(E):
             valid = st.active & (st.start < jnp.int32(limit))
             # taps at the TRUE code phase: lag position folds in the true
-            # epoch-start offset vs the predicted slice origin
-            d_s = (st.start - s_pred[:, kk]).astype(f32)
+            # epoch-start offset vs the regular-grid slice origin
+            d_s = (st.start - s_reg[:, kk]).astype(f32)
             rem_eff = (d_s + st.rem_code_phase_samples) * (
                 1.0 + st.code_freq_delta / f32(cfg.chip_rate_chips_s))
             pos = (f32(self._lag_margin) + rem_eff[:, None]
@@ -976,54 +1048,16 @@ class TrackingEngine:
         from ..ops import pallas_chain as pc
 
         cfg = self.cfg
-        f32 = jnp.float32
         E = self._chunk_epochs
-        Nmax = cfg.epoch_samples_max
-        n_samp = samples_p.shape[0]
         C = cfg.n_channels
 
-        # XLA-side window/correlation math runs at the true channel count;
-        # only the kernel boundary is lane-padded
-        active = ist[pc.I_ACTIVE, :C] > 0
-        start = ist[pc.I_START, :C]
-        cur_len = ist[pc.I_CURLEN, :C]
-        delta0 = fst[pc.F_DELTA, :C]
-        rem0 = fst[pc.F_REM_CODE, :C]
-        dopp0 = fst[pc.F_DOPPLER, :C]
-        coff = fst[pc.F_CARR_OFF, :C]
-        rem_carr0 = fst[pc.F_REM_CARR, :C]
-
-        codef0 = f32(cfg.chip_rate_chips_s) + delta0
-        d_t0 = -(f32(self._t0_int) + f32(self._t0_frac)) * delta0 / codef0
-        c_step = f32(self._t0_frac) + d_t0
-        k = jnp.arange(E + 1, dtype=f32)
-        r = rem0[:, None] + (k[None, :] - 1.0) * c_step[:, None]
-        s_pred = (start[:, None] + cur_len[:, None]
-                  + (k[None, :].astype(jnp.int32) - 1) * jnp.int32(self._t0_int)
-                  + jnp.floor(r).astype(jnp.int32))
-        s_pred = jnp.concatenate([start[:, None], s_pred[:, 1:]], axis=1)
-        len_pred = s_pred[:, 1:] - s_pred[:, :-1]
-
-        win = min(self._win + (E - 1) * (self._t0_int + 2), n_samp)
-        m = jnp.min(jnp.where(active, start, jnp.int32(1 << 29)))
-        m = jnp.clip(m, 0, n_samp - win)
-        window = jax.lax.dynamic_slice(samples_p, (m, 0), (win, 2))
-        off = jnp.clip(s_pred[:, :E] - m, 0, win - Nmax)
-        segs_p = jax.vmap(jax.vmap(
-            lambda s: jax.lax.dynamic_slice(window, (s, 0), (Nmax, 2))
-        ))(off)
-        segs = unpack_complex(segs_p)
-
-        step0 = f32(_TWO_PI) * (dopp0 + coff) / f32(cfg.fs_hz)
-        phi_k = jnp.mod(
-            rem_carr0[:, None]
-            + step0[:, None] * (s_pred[:, :E] - start[:, None]).astype(f32),
-            f32(_TWO_PI))
-        n = jnp.arange(Nmax, dtype=f32)
-        phase = phi_k[..., None] + step0[:, None, None] * n
-        wiped = segs * jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        mask = n[None, None, :] < len_pred[..., None].astype(f32)
-        wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
+        # XLA-side window/correlation math runs at the true channel count
+        # (shared _chunk_windows regular-grid extraction); only the kernel
+        # boundary is lane-padded
+        state_view = self._unpack_rows(
+            TrackState(*([jnp.zeros(C)] * len(TrackState._fields))), fst, ist)
+        wiped, s_reg, _s_pred, _len_pred, step0 = self._chunk_windows(
+            samples_p, state_view)
 
         zr = jnp.einsum("cen,cln->elc", wiped.real, rep_rows,
                         preferred_element_type=jnp.float32)
@@ -1034,7 +1068,7 @@ class TrackingEngine:
         if pad:
             zr = jnp.pad(zr, ((0, 0), (0, 0), (0, pad)))
             zi = jnp.pad(zi, ((0, 0), (0, 0), (0, pad)))
-        s_pred_k = jnp.transpose(s_pred[:, :E])
+        s_pred_k = jnp.transpose(s_reg)
         step0_k = step0[None]
         if pad:
             s_pred_k = jnp.pad(s_pred_k, ((0, 0), (0, pad)))
@@ -1104,6 +1138,75 @@ class TrackingEngine:
 
         return jax.lax.scan(step, state, None, length=n_epochs)
 
+    # compact harvest rows ([R, E, C] i32, floats bitcast): the terminal
+    # backend's host readback pays ~tens of ms PER ARRAY plus ~45 ms/MB
+    # (PERF.md round 4), so the capture path ships ONE packed buffer with
+    # only the fields the host pipeline consumes (prompt correlator, not
+    # the full tap vector — telemetry/observables/PVT need the prompt only)
+    _PACK_START = 0            # i32 epoch start
+    _PACK_FLAGS = 1            # cur_len | valid<<16 | active<<17
+    _PACK_REM_CODE = 2         # f32 bitcast
+    _PACK_REM_CARR = 3
+    _PACK_DOPPLER = 4
+    _PACK_PROMPT_R = 5
+    _PACK_PROMPT_I = 6
+    _PACK_CN0_DELTA = 7        # cn0 f16 | code_freq_delta f16 << 16
+    _PACK_ROWS = 8
+
+    def _pack_outputs(self, bufs: TrackOutputs):
+        f32 = jnp.float32
+        i32 = jnp.int32
+
+        def bc(x):
+            return jax.lax.bitcast_convert_type(x.astype(f32), i32)
+
+        p = self.cfg.prompt_index
+        prompt = bufs.correlators[:, :, p, :]          # [E, C, 2]
+        flags = (bufs.cur_len & 0xFFFF) \
+            | (bufs.valid.astype(i32) << 16) \
+            | (bufs.active.astype(i32) << 17)
+        cn0_h = jax.lax.bitcast_convert_type(
+            bufs.cn0_dbhz.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        dlt_h = jax.lax.bitcast_convert_type(
+            bufs.code_freq_delta.astype(jnp.float16),
+            jnp.uint16).astype(jnp.uint32)
+        return jnp.stack([
+            bufs.start, flags, bc(bufs.rem_code_phase_samples),
+            bc(bufs.rem_carr_phase_rad), bc(bufs.carrier_doppler_hz),
+            bc(prompt[..., 0]), bc(prompt[..., 1]),
+            (cn0_h | (dlt_h << 16)).astype(i32),
+        ])                                             # [R, E, C] i32
+
+    def _unpack_outputs(self, packed: np.ndarray) -> TrackOutputs:
+        """Host-side inverse of _pack_outputs -> numpy TrackOutputs (full
+        [E, C, K, 2] correlators with non-prompt taps zero)."""
+        packed = np.asarray(packed)
+        E, C = packed.shape[1], packed.shape[2]
+        K = self.cfg.n_taps
+
+        def fb(row):
+            return packed[row].view(np.float32)
+
+        flags = packed[self._PACK_FLAGS]
+        corr = np.zeros((E, C, K, 2), np.float32)
+        corr[:, :, self.cfg.prompt_index, 0] = fb(self._PACK_PROMPT_R)
+        corr[:, :, self.cfg.prompt_index, 1] = fb(self._PACK_PROMPT_I)
+        cn0_delta = packed[self._PACK_CN0_DELTA].view(np.uint32)
+        return TrackOutputs(
+            valid=(flags >> 16) & 1 > 0,
+            start=packed[self._PACK_START],
+            cur_len=(flags & 0xFFFF).astype(np.int32),
+            correlators=corr,
+            carrier_doppler_hz=fb(self._PACK_DOPPLER),
+            code_freq_delta=(cn0_delta >> 16).astype(np.uint16)
+            .view(np.float16).astype(np.float32),
+            rem_code_phase_samples=fb(self._PACK_REM_CODE),
+            rem_carr_phase_rad=fb(self._PACK_REM_CARR),
+            cn0_dbhz=(cn0_delta & 0xFFFF).astype(np.uint16)
+            .view(np.float16).astype(np.float32),
+            active=(flags >> 17) & 1 > 0,
+        )
+
     def _track_capture_impl(self, samples, state: TrackState, limit,
                             n_epochs, *, n_epochs_cap: int):
         """Dynamic epoch loop over a device-resident capture.
@@ -1112,7 +1215,8 @@ class TrackingEngine:
         `n_epochs` (traced): epoch budget — a traced bound forces a real
         device loop (the terminal backend unrolls static-length scans, which
         makes long-capture compiles intractable).  Outputs are written into
-        preallocated [n_epochs_cap, ...] buffers.
+        preallocated [n_epochs_cap, ...] buffers and returned as ONE packed
+        [R, cap, C] i32 buffer (_pack_outputs).
         """
         C = self.cfg.n_channels
         K = self.cfg.n_taps
@@ -1151,7 +1255,8 @@ class TrackingEngine:
             n_chunks = (n_epochs + E - 1) // E
             fst, ist, bufs = jax.lax.fori_loop(
                 0, n_chunks, chunk_p, (fst0, ist0, bufs))
-            return self._unpack_rows(state, fst, ist), bufs
+            return self._unpack_rows(state, fst, ist), \
+                self._pack_outputs(bufs)
 
         if self.cfg.correlator in ("fft", "mxu"):
             def chunk(i, carry):
@@ -1183,7 +1288,8 @@ class TrackingEngine:
                 return st, b
 
         n_chunks = (n_epochs + E - 1) // E
-        return jax.lax.fori_loop(0, n_chunks, chunk, (state, bufs))
+        st, bufs = jax.lax.fori_loop(0, n_chunks, chunk, (state, bufs))
+        return st, self._pack_outputs(bufs)
 
     # ---------------- host API ----------------
 
@@ -1225,26 +1331,29 @@ class TrackingEngine:
             raise ValueError(f"capture must hold >= {need} samples")
         if segment_epochs is None:
             n_epochs = span // (self._t0_int - 2) + 2
-            st, outs = self._capture_fn(
+            st, packed = self._capture_fn(
                 samples_device, state, jnp.int32(span), jnp.int32(n_epochs),
                 n_epochs_cap=n_epochs)
-            return self.rebase(st, span), outs
+            return self.rebase(st, span), self._unpack_outputs(packed)
         # segmented: one compiled program (fixed buffer capacity) called
-        # repeatedly with an advancing sample limit — bounds the loop-carry
-        # output buffers (large carries degrade the device loop) while
-        # keeping the capture resident
+        # repeatedly with an advancing sample limit.  All segments are
+        # DISPATCHED before any readback (async jax dispatch chains them on
+        # the state future), so each segment's packed-buffer transfer
+        # overlaps the next segment's device compute — the terminal
+        # backend's readback latency would otherwise serialize with compute
         cap = int(segment_epochs)
         seg_span = (cap - 2) * (self._t0_int - 2)
         st = state
-        collected = None
+        pending = []
         k = 0
         while k * seg_span < span:
             lim = min(span, (k + 1) * seg_span)
-            st, outs = self._capture_fn(
+            st, packed = self._capture_fn(
                 samples_device, st, jnp.int32(lim), jnp.int32(cap),
                 n_epochs_cap=cap)
-            host = jax.tree.map(np.asarray, outs)
-            collected = host if collected is None else jax.tree.map(
-                lambda a, b: np.concatenate([a, b]), collected, host)
+            pending.append(packed)
             k += 1
+        outs = [self._unpack_outputs(p) for p in pending]
+        collected = jax.tree.map(
+            lambda *xs: np.concatenate(xs), *outs)
         return self.rebase(st, span), collected

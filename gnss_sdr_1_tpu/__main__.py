@@ -197,19 +197,51 @@ def main(argv=None) -> int:
         (out / "position.gpx").write_text(printers.gpx_document(sols))
         (out / "position.geojson").write_text(printers.geojson_document(sols))
         nmea = []
+        # GPGSV satellite roster from the final fix's geometry
+        gsv_sats = []
+        ephs_now = {p: d.ephemeris for p, d in rx.decoders.items()
+                    if d.ephemeris_complete}
+        if last.valid and ephs_now:
+            from .pvt.geodesy import az_el
+            from .pvt.solver import sat_pos_vel
+            for p, e in sorted(ephs_now.items()):
+                try:
+                    pos, _ = sat_pos_vel(e, last.rx_time_tow_s)
+                    az, el = az_el(last.rx_ecef_m, pos)
+                    cn0 = next((o.cn0_dbhz for _, obs in rx.obs_epochs[-1:]
+                                for q, o in obs.items() if q == p), 0.0)
+                    gsv_sats.append((p, np.degrees(el), np.degrees(az), cn0))
+                except Exception:
+                    continue
         for s in sols:
             utc = printers.gps_time_to_utc(2240, s.rx_time_tow_s)
             nmea.append(printers.nmea_gga(s, utc))
             nmea.append(printers.nmea_rmc(s, utc))
+        if last.valid:
+            nmea.append(printers.nmea_gsa(
+                last, sorted(p for _, obs in rx.obs_epochs[-1:]
+                             for p in obs)))
+            nmea.extend(printers.nmea_gsv(gsv_sats))
         (out / "position.nmea").write_text("\n".join(nmea) + "\n")
         if rx.obs_epochs:
             week = next((d.ephemeris.week for d in rx.decoders.values()
                          if d.ephemeris_complete), 0) + 2048
+            # 2.11 obs exists only for systems 2.11 can represent (GPS +
+            # GLONASS); Galileo/BeiDou signals fall back to 3.02 like the
+            # nav gate below
+            obs_ver = rinex_version if rcfg.signal_id in (
+                "1C", "2S", "L5", "1G", "2G") else 3
+            tows = [tow for tow, _ in rx.obs_epochs]
+            interval = (round(np.median(np.diff(tows)), 3)
+                        if len(tows) > 1 else None)
             obs_txt = [printers.rinex_obs_header(
                 approx_xyz=sols[-1].rx_ecef_m,
                 signals=(rcfg.signal_id,),
                 glonass_slots=dict(rcfg.fdma_k) or None,
-                version=rinex_version)]
+                version=obs_ver,
+                time_first_obs=printers.gps_time_to_utc(
+                    week, tows[0], leap_s=0),
+                interval_s=interval)]
             for tow, obs in rx.obs_epochs:
                 obs_txt.append(printers.rinex_obs_epoch(week, tow, {
                     p: {"pseudorange_m": o.pseudorange_m,
@@ -217,7 +249,7 @@ def main(argv=None) -> int:
                         "doppler_hz": o.doppler_hz,
                         "cn0_dbhz": o.cn0_dbhz}
                     for p, o in obs.items()}, signal=rcfg.signal_id,
-                    version=rinex_version))
+                    version=obs_ver, signals=(rcfg.signal_id,)))
             (out / "observables.rnx").write_text("".join(obs_txt))
         # nav records use each system's NATIVE broadcast model (the Galileo
         # adapter converts to Keplerian for the solver; RINEX wants I/NAV)
@@ -229,11 +261,13 @@ def main(argv=None) -> int:
                          for d in rx.decoders.values()
                          if getattr(getattr(d, "iono", None), "valid",
                                     False)), None)
-            # 2.11 nav is a GPS-only file type; non-GPS systems keep 3.02
+            # 2.11 nav file types exist for GPS ('N:') and GLONASS ('G:');
+            # Galileo/BeiDou keep 3.02
             nav_ver = rinex_version if rcfg.signal_id in (
-                "1C", "2S", "L5") else 3
+                "1C", "2S", "L5", "1G", "2G") else 3
+            nav_sys = "R" if rcfg.signal_id in ("1G", "2G") else "G"
             nav = printers.rinex_nav_header(
-                iono=iono, version=nav_ver) + "".join(
+                iono=iono, version=nav_ver, system=nav_sys) + "".join(
                 printers.rinex_nav_record(e, version=nav_ver)
                 for e in ephs.values())
             (out / "brdc.rnx").write_text(nav)

@@ -7,7 +7,10 @@ carrier wipe-off, FFT circular correlation and CFAR / peak-ratio statistics.
 """
 
 from .pcps import AcqConfig, AcqResult, PcpsAcquisition
-from .variants import CccwsrAcquisition, QuickSyncAcquisition
+from .variants import (CafAcquisition, CccwsrAcquisition,
+                       FineDopplerAcquisition, Pcps8msAcquisition,
+                       QuickSyncAcquisition)
 
 __all__ = ["AcqConfig", "AcqResult", "PcpsAcquisition",
-           "QuickSyncAcquisition", "CccwsrAcquisition"]
+           "QuickSyncAcquisition", "CccwsrAcquisition",
+           "FineDopplerAcquisition", "Pcps8msAcquisition", "CafAcquisition"]

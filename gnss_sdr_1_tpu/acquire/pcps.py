@@ -250,6 +250,7 @@ class PcpsAcquisition:
             for p in self.prns}
         F = cfg.fft_size
         sampled = []
+        periods = []
         for prn in self.prns:
             chips = codes_by_prn[prn]
             if fs_code_rate is not None:
@@ -269,8 +270,12 @@ class PcpsAcquisition:
             buf = np.zeros(F, dtype=np.complex64)
             buf[: len(rep)] = rep
             sampled.append(np.conj(np.fft.fft(buf)).astype(np.complex64))
+            periods.append(np.asarray(one_period, dtype=np.complex64))
         from ..utils.planar import to_planar
 
+        # one-period time-domain replica bank (variants.FineDopplerAcquisition
+        # reuses it for the code wipe-off)
+        self._codes_time_planar = jnp.asarray(to_planar(np.stack(periods)))
         self._code_fft_conj = jnp.asarray(to_planar(np.stack(sampled)))
         self._wipeoffs = jnp.asarray(to_planar(_doppler_wipeoffs(cfg)))
         self._threshold = cfg.derived_threshold() if cfg.use_cfar else cfg.threshold

@@ -49,6 +49,21 @@ FORMATS: dict[str, SampleFormat] = {
     "4bits_cpx": SampleFormat("4bits_cpx", np.dtype(np.uint8), 1, 1),
     # unsigned uint8 I/Q centered on 127.5 (the rtl_tcp / RTL-SDR stream)
     "ubyte_iq": SampleFormat("ubyte_iq", np.dtype(np.uint8), 2),
+    # NSR front-end: REAL 2-bit samples, 4 per byte, LSB pair first
+    # (Nsr_File_Signal_Source -> unpack_byte_2bit_samples.cc:66-82); real
+    # IF samples, Q = 0 (the conditioner's xlating stage recovers baseband)
+    "nsr": SampleFormat("nsr", np.dtype(np.uint8), 1, 4),
+    # SPIR int32 words: 1-bit I/Q of channel 1 in bits 0/1, +-32767.0
+    # (Spir_File_Signal_Source -> unpack_intspir_1bit_samples.cc:60-81)
+    "spir": SampleFormat("spir", np.dtype(np.int32), 1),
+    # SPIR GSS6450 int32 words, ADC resolution 2 or 4 bits: 8 (resp. 4)
+    # complex samples per word, I in the LOW bits of each pair, sample
+    # order REVERSED within the word
+    # (unpack_spir_gss6450_samples.cc:decode_4bits_word)
+    "spir_gss6450_2bit": SampleFormat(
+        "spir_gss6450_2bit", np.dtype(np.uint32), 1, 8),
+    "spir_gss6450_4bit": SampleFormat(
+        "spir_gss6450_4bit", np.dtype(np.uint32), 1, 4),
 }
 
 
@@ -77,6 +92,32 @@ def convert_to_complex64(raw: np.ndarray, fmt: SampleFormat) -> np.ndarray:
         out = np.empty(len(b), dtype=np.complex64)
         out.real = _signed_k_bits(b & 0xF, 4)
         out.imag = _signed_k_bits((b >> 4) & 0xF, 4)
+        return out
+    if fmt.name == "nsr":
+        b = raw.astype(np.uint16)
+        out = np.zeros(4 * len(b), dtype=np.complex64)
+        for j in range(4):
+            out.real[j::4] = _signed_k_bits((b >> (2 * j)) & 0x3, 2)
+        return out
+    if fmt.name == "spir":
+        w = raw.astype(np.int64)
+        out = np.empty(len(w), dtype=np.complex64)
+        out.real = np.where(w & 1, 32767.0, -32767.0).astype(np.float32)
+        out.imag = np.where((w >> 1) & 1, 32767.0, -32767.0).astype(np.float32)
+        return out
+    if fmt.name.startswith("spir_gss6450"):
+        adc_bits = 2 if fmt.name.endswith("2bit") else 4
+        spw = 16 // adc_bits                      # samples per int32 word
+        w = raw.astype(np.uint64)
+        out = np.empty(spw * len(w), dtype=np.complex64)
+        for j in range(spw):                      # j-th extracted pair
+            iv = _signed_k_bits((w >> (2 * adc_bits * j)) & (
+                (1 << adc_bits) - 1), adc_bits)
+            qv = _signed_k_bits((w >> (2 * adc_bits * j + adc_bits)) & (
+                (1 << adc_bits) - 1), adc_bits)
+            # reversed placement within the word (out[spw-1-j])
+            out.real[spw - 1 - j::spw] = iv
+            out.imag[spw - 1 - j::spw] = qv
         return out
     if fmt.name == "ubyte_iq":
         n = len(raw) // 2

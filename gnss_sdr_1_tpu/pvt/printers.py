@@ -77,11 +77,16 @@ def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
                      approx_xyz: np.ndarray | None = None,
                      signals: tuple[str, ...] = ("1C",),
                      glonass_slots: dict[int, int] | None = None,
-                     version: int = 3) -> str:
+                     version: int = 3,
+                     time_first_obs: datetime.datetime | None = None,
+                     interval_s: float | None = None) -> str:
     """RINEX observation header.  version=3 -> 3.02 with per-system
     SYS / # / OBS TYPES lines and GLONASS SLOT/FRQ numbers
     (rinex_printer.cc:850); version=2 -> 2.11 with the shared
-    `# / TYPES OF OBSERV` list (9 codes per line)."""
+    `# / TYPES OF OBSERV` list (9 codes per line).  `time_first_obs` /
+    `interval_s` emit the mandatory TIME OF FIRST OBS and the INTERVAL
+    records (rinex_printer.cc:4306,4325); the GLONASS SLOT / FRQ # record
+    exists only in version 3 (rinex_printer.cc:4329 'Only version 3')."""
     out = io.StringIO()
     if version == 2:
         out.write(f"{'2.11':>9}{'':11}{'OBSERVATION DATA':<20}"
@@ -111,7 +116,14 @@ def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
             body = " ".join(codes)
             out.write(f"{sysl}  {len(codes):4d} {body:<52}"
                       "SYS / # / OBS TYPES\n")
-    if glonass_slots:
+    if interval_s is not None:
+        out.write(f"{interval_s:10.3f}{'':50}INTERVAL\n")
+    if time_first_obs is not None:
+        t = time_first_obs
+        out.write(f"{t.year:6d}{t.month:6d}{t.day:6d}{t.hour:6d}"
+                  f"{t.minute:6d}{t.second + t.microsecond / 1e6:13.7f}"
+                  f"{'':5}{'GPS':<3}{'':9}TIME OF FIRST OBS\n")
+    if glonass_slots and version != 2:
         ents = "".join(f" R{s:02d} {k:2d}" for s, k in
                        sorted(glonass_slots.items()))
         out.write(f"{len(glonass_slots):3d}{ents:<57}GLONASS SLOT / FRQ #\n")
@@ -119,36 +131,81 @@ def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
     return out.getvalue()
 
 
+_OBS_FIELD_OF_CODE_POS = (
+    "pseudorange_m", "carrier_phase_cycles", "doppler_hz", "cn0_dbhz")
+
+
+def _ssi(cn0: float | None) -> str:
+    """RINEX signal-strength indicator: quantized C/N0 1-9 (the reference's
+    signalStrength(), floor(CN0/6) clamped)."""
+    if not cn0:
+        return " "
+    return str(min(max(int(cn0 // 6.0), 1), 9))
+
+
+def _obs_field(value: float | None, lli: int = 0, ssi: str = " ") -> str:
+    """One F14.3,I1,I1 observation field; None -> 16 blanks."""
+    if value is None:
+        return " " * 16
+    return f"{value:14.3f}{lli if lli else ' '}{ssi}"
+
+
 def rinex_obs_epoch(week: int, tow_s: float,
                     observations: dict[int, dict],
-                    signal: str = "1C", version: int = 3) -> str:
+                    signal: str = "1C", version: int = 3,
+                    signals: tuple[str, ...] | None = None) -> str:
     """One observation epoch.  observations: prn -> {pseudorange_m,
-    carrier_phase_cycles, doppler_hz, cn0_dbhz}; the satellite letter comes
-    from `signal` (multi-signal epochs: pass keys ('1B', prn) etc.).
-    version=2 writes the 2.11 epoch line (yy + A1I2 satellite roster,
-    12 per line) followed by one observation line per satellite."""
+    carrier_phase_cycles, doppler_hz, cn0_dbhz, lli}; the satellite letter
+    comes from `signal` (multi-signal epochs: pass keys ('1B', prn) etc.).
+    version=2 writes the 2.11 epoch line (yy + A1I2 satellite roster, 12 per
+    line) followed by per-satellite observation lines whose columns follow
+    the `signals` declared # / TYPES OF OBSERV order (blank 16-char fields
+    for observables a satellite lacks; 5 observations per line).  The SSI
+    column carries the quantized C/N0 digit and the LLI column the
+    loss-of-lock flag, as the reference's obs lines do."""
     t = gps_time_to_utc(week, tow_s)
     out = io.StringIO()
     keys = sorted(observations,
                   key=lambda k: (k[0], k[1]) if isinstance(k, tuple)
                   else (signal, k))
     if version == 2:
-        sats = []
+        if signals is None:
+            sigs = []
+            for key in keys:
+                sig = key[0] if isinstance(key, tuple) else signal
+                if sig not in sigs:
+                    sigs.append(sig)
+            signals = tuple(sigs) or (signal,)
+        declared = _v2_obs_types(signals)
+        # group per physical satellite: (sys letter, prn) -> {c2: (val, o)}
+        sat_obs: dict[tuple[str, int], dict[str, tuple[float, dict]]] = {}
         for key in keys:
             sig, prn = key if isinstance(key, tuple) else (signal, key)
-            sats.append(f"{_OBS_CODES[sig][0]}{prn:02d}")
+            o = observations[key]
+            ent = sat_obs.setdefault((_OBS_CODES[sig][0], prn), {})
+            for pos, code in enumerate(_OBS_CODES[sig][1]):
+                val = o.get(_OBS_FIELD_OF_CODE_POS[pos])
+                if val is not None:
+                    ent[code[:2]] = (float(val), o)
+        sats = [f"{s}{p:02d}" for s, p in sat_obs]
         head = (f" {t.year % 100:02d} {t.month:2d} {t.day:2d} {t.hour:2d} "
                 f"{t.minute:2d}{t.second + t.microsecond/1e6:11.7f}  0"
                 f"{len(sats):3d}")
         out.write(head + "".join(sats[:12]) + "\n")
         for i in range(12, len(sats), 12):
             out.write(" " * 32 + "".join(sats[i:i + 12]) + "\n")
-        for key in keys:
-            o = observations[key]
-            out.write(f"{o.get('pseudorange_m', 0.0):14.3f}  "
-                      f"{o.get('carrier_phase_cycles', 0.0):14.3f}  "
-                      f"{o.get('doppler_hz', 0.0):14.3f}  "
-                      f"{o.get('cn0_dbhz', 0.0):14.3f}\n")
+        for ent in sat_obs.values():
+            fields = []
+            for c2 in declared:
+                if c2 in ent:
+                    val, o = ent[c2]
+                    lli = int(o.get("lli", 0)) if c2[0] == "L" else 0
+                    ssi = _ssi(o.get("cn0_dbhz")) if c2[0] in "CL" else " "
+                    fields.append(_obs_field(val, lli, ssi))
+                else:
+                    fields.append(_obs_field(None))
+            for i in range(0, len(fields), 5):
+                out.write("".join(fields[i:i + 5]).rstrip() + "\n")
         return out.getvalue()
     out.write(f"> {t.year:4d} {t.month:02d} {t.day:02d} {t.hour:02d} "
               f"{t.minute:02d}{t.second + t.microsecond/1e6:11.7f}  0"
@@ -157,11 +214,14 @@ def rinex_obs_epoch(week: int, tow_s: float,
         sig, prn = key if isinstance(key, tuple) else (signal, key)
         sysl = _OBS_CODES[sig][0]
         o = observations[key]
-        out.write(f"{sysl}{prn:02d}"
-                  f"{o.get('pseudorange_m', 0.0):14.3f}  "
-                  f"{o.get('carrier_phase_cycles', 0.0):14.3f}  "
-                  f"{o.get('doppler_hz', 0.0):14.3f}  "
-                  f"{o.get('cn0_dbhz', 0.0):14.3f}\n")
+        ssi = _ssi(o.get("cn0_dbhz"))
+        lli = int(o.get("lli", 0))
+        out.write(
+            f"{sysl}{prn:02d}"
+            + _obs_field(o.get("pseudorange_m", 0.0), 0, ssi)
+            + _obs_field(o.get("carrier_phase_cycles", 0.0), lli, ssi)
+            + _obs_field(o.get("doppler_hz", 0.0))
+            + _obs_field(o.get("cn0_dbhz", 0.0)).rstrip() + "\n")
     return out.getvalue()
 
 
@@ -172,21 +232,28 @@ def _d12(x: float) -> str:
     return f"{mant}D{int(exp):+03d}".rjust(12)
 
 
-def rinex_nav_header(iono=None, leap_s: int = 18, version: int = 3) -> str:
+def rinex_nav_header(iono=None, leap_s: int = 18, version: int = 3,
+                     system: str = "G") -> str:
     """Nav header with Klobuchar iono corrections when available.
     version=3 -> mixed-GNSS 3.02 (rinex_printer.cc:964 IONOSPHERIC CORR /
-    LEAP SECONDS); version=2 -> GPS-only 2.11 (ION ALPHA / ION BETA)."""
+    LEAP SECONDS); version=2 -> per-system 2.11 file types: system='G'
+    GPS nav ('N: GPS NAV DATA'), system='R' GLONASS nav ('G: GLONASS NAV
+    DATA', the reference's rinex_nav_header(glonass_gnav_ephemeris)
+    version-2 branch)."""
     out = io.StringIO()
     if version == 2:
-        out.write(f"{'2.11':>9}{'':11}{'N: GPS NAV DATA':<20}{'':20}"
+        ftype = ("G: GLONASS NAV DATA" if system == "R"
+                 else "N: GPS NAV DATA")
+        out.write(f"{'2.11':>9}{'':11}{ftype:<20}{'':20}"
                   "RINEX VERSION / TYPE\n")
         out.write(f"{'gnss-sdr-1-tpu':<20}{'':40}PGM / RUN BY / DATE\n")
-        if iono is not None and getattr(iono, "valid", False):
+        if system != "R" and iono is not None and getattr(iono, "valid", False):
             a = "".join(_d12(getattr(iono, f"alpha{k}")) for k in range(4))
             b = "".join(_d12(getattr(iono, f"beta{k}")) for k in range(4))
             out.write(f"{'':2}{a:<58}ION ALPHA\n")
             out.write(f"{'':2}{b:<58}ION BETA\n")
-        out.write(f"{leap_s:6d}{'':54}LEAP SECONDS\n")
+        if system != "R":
+            out.write(f"{leap_s:6d}{'':54}LEAP SECONDS\n")
         out.write(f"{'':60}END OF HEADER\n")
         return out.getvalue()
     out.write(f"{'3.02':>9}{'':11}{'N: GNSS NAV DATA':<20}{'M: MIXED':<20}"
@@ -219,16 +286,32 @@ def rinex_nav_record(eph, version: int = 3) -> str:
     GPS LNAV/CNAV (Keplerian), Galileo I/NAV, BeiDou D1, GLONASS state
     vector (rinex_printer.cc:1186 per-system nav writers).  version=2
     writes the 2.11 GPS format (I2 PRN + yy epoch, 3X-indented
-    continuation rows); non-GPS records in a 2.11 file are a caller
-    error (the reference writes them to separate per-system files)."""
+    continuation rows) or the 2.11 GLONASS state-vector format (for the
+    'G: GLONASS NAV DATA' file type); Galileo/BeiDou records in a 2.11
+    file are a caller error (2.11 has no file type for them)."""
     out = io.StringIO()
     if version == 2:
-        if hasattr(eph, "tb_s") or hasattr(eph, "iod_nav") \
+        if hasattr(eph, "tb_s"):           # GLONASS 2.11 (I2 slot, yy epoch)
+            day = _GLO_NT_EPOCH + datetime.timedelta(
+                days=max(int(eph.nt_days) - 1, 0), seconds=eph.tb_s)
+            t = day
+            out.write(f"{eph.slot:2d} {t.year % 100:02d} {t.month:2d} "
+                      f"{t.day:2d} {t.hour:2d} {t.minute:2d} "
+                      f"{float(t.second):4.1f}"
+                      + "".join(_rnx(float(v)) for v in
+                                (-eph.tau_n_s, eph.gamma_n, eph.tk_s)) + "\n")
+            for row in [(eph.x_km, eph.vx_kms, eph.ax_kms2, eph.health_bn),
+                        (eph.y_km, eph.vy_kms, eph.ay_kms2,
+                         eph.freq_channel),
+                        (eph.z_km, eph.vz_kms, eph.az_kms2, 0.0)]:
+                out.write("   " + "".join(_rnx(float(v)) for v in row) + "\n")
+            return out.getvalue()
+        if hasattr(eph, "iod_nav") \
                 or getattr(eph, "system", "G") == "C" \
                 or hasattr(eph, "sat_h1"):
             raise ValueError(
-                "RINEX 2.11 nav output is GPS-only (N: GPS NAV DATA); "
-                "write other systems to their own 2.11 file types")
+                "RINEX 2.11 nav files exist only for GPS (N:) and GLONASS "
+                "(G:); write Galileo/BeiDou to 3.02")
         t = gps_time_to_utc(eph.week + 2048, eph.toc, leap_s=0)
         out.write(f"{eph.prn:2d} {t.year % 100:02d} {t.month:2d} {t.day:2d} "
                   f"{t.hour:2d} {t.minute:2d} {float(t.second):4.1f}"
@@ -332,6 +415,34 @@ def nmea_rmc(sol: PvtSolution, utc: datetime.datetime) -> str:
     body = (f"GPRMC,{utc:%H%M%S}.00,A,{lat},{ns},{lon},{ew},"
             f"{speed_kt:.2f},0.0,{utc:%d%m%y},,,A")
     return f"${body}*{_nmea_checksum(body)}"
+
+
+def nmea_gsa(sol: PvtSolution, used_prns: Iterable[int]) -> str:
+    """$GPGSA — DOP and active satellites (nmea_printer.cc:205 get_GPGSA):
+    auto 3D mode, up to 12 used PRNs, PDOP/HDOP/VDOP."""
+    prns = [f"{p:02d}" for p in list(used_prns)[:12]]
+    slots = ",".join(prns + [""] * (12 - len(prns)))
+    d = sol.dops or {}
+    body = (f"GPGSA,A,3,{slots},{d.get('pdop', 0.0):.1f},"
+            f"{d.get('hdop', 0.0):.1f},{d.get('vdop', 0.0):.1f}")
+    return f"${body}*{_nmea_checksum(body)}"
+
+
+def nmea_gsv(sats: list[tuple[int, float, float, float]]) -> list[str]:
+    """$GPGSV — satellites in view (nmea_printer.cc:219 get_GPGSV): each
+    entry is (prn, elevation_deg, azimuth_deg, cn0_dbhz); 4 satellites per
+    sentence, multi-sentence sequence numbering."""
+    n = len(sats)
+    n_msg = max((n + 3) // 4, 1)
+    out = []
+    for m in range(n_msg):
+        chunk = sats[4 * m:4 * m + 4]
+        body = f"GPGSV,{n_msg},{m + 1},{n:02d}"
+        for prn, el, az, cn0 in chunk:
+            body += (f",{prn:02d},{int(round(el)):02d},"
+                     f"{int(round(az)) % 360:03d},{int(round(cn0)):02d}")
+        out.append(f"${body}*{_nmea_checksum(body)}")
+    return out
 
 
 # ------------------------------------------------------- KML / GPX / GeoJSON

@@ -86,6 +86,27 @@ def _signal_from_impl(impl: str) -> str | None:
     return None
 
 
+def conf_signal_groups(conf: InMemoryConfiguration) -> list[str]:
+    """Signal ids of every configured channel group, in conf order — the
+    reference's set_signals_list builds per-constellation satellite lists
+    from the Channels_XX.count keys (gnss_flowgraph.cc:1722)."""
+    groups: list[str] = []
+    for key in conf.keys():
+        if key.startswith("Channels_") and key.endswith(".count"):
+            sid = key[len("Channels_"):-len(".count")]
+            if sid and int(conf.property(key, 0)) > 0 and sid not in groups:
+                groups.append(sid)
+    if not groups:
+        # fall back to the acquisition implementation names present
+        for key in conf.keys():
+            if key.startswith("Acquisition_") and key.endswith(
+                    ".implementation"):
+                sid = key[len("Acquisition_"):-len(".implementation")]
+                if sid and sid not in groups:
+                    groups.append(sid)
+    return groups or ["1C"]
+
+
 @dataclasses.dataclass
 class FrontEnd:
     """The realized SignalConditioner chain: complex64 samples at the
@@ -158,14 +179,43 @@ def build_frontend(conf: InMemoryConfiguration) -> FrontEnd:
     )
 
 
-def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
+def to_receiver_config(conf: InMemoryConfiguration,
+                       signal_id: str | None = None) -> ReceiverConfig:
     """Map reference property names (conf/gnss-sdr_GPS_L1_ishort.conf
-    conventions) onto a ReceiverConfig."""
+    conventions) onto a ReceiverConfig for ONE channel group.
+
+    `signal_id` selects the group in multi-constellation confs (default:
+    the first configured group).  The Acquisition_XX/Tracking_XX
+    `implementation=` names are routed through runtime.factory — an
+    unknown name raises (the reference factory logs 'Block ... not found'
+    and aborts the flowgraph), and the resolved strategy selects the
+    engine (KF tracking, Tong/QuickSync/CCCWSR/fine-Doppler/8ms/CAF
+    acquisition)."""
+    from . import factory
+
     fs = conf.property("GNSS-SDR.internal_fs_sps",
                        conf.property("GNSS-SDR.internal_fs_hz", 4_000_000.0))
-    acq_impl = conf.property("Acquisition_1C.implementation", "")
-    signal_id = _signal_from_impl(acq_impl) or "1C"
+    if signal_id is None:
+        signal_id = conf_signal_groups(conf)[0]
     sig = f"_{signal_id}"
+    acq_impl = str(conf.property(f"Acquisition{sig}.implementation", ""))
+    acq_strategy = "pcps"
+    if acq_impl:
+        info = factory.resolve(acq_impl)
+        if info.status == "hardware":
+            raise ValueError(
+                f"acquisition '{acq_impl}' needs hardware this build does "
+                f"not drive ({info.note})")
+        acq_strategy = info.strategy or "pcps"
+    trk_impl = str(conf.property(f"Tracking{sig}.implementation", ""))
+    track_engine = "dll_pll"
+    if trk_impl:
+        tinfo = factory.resolve(trk_impl)
+        if tinfo.status == "hardware":
+            raise ValueError(
+                f"tracking '{trk_impl}' needs an external process/device "
+                f"({tinfo.note})")
+        track_engine = "kf" if tinfo.strategy == "kf" else "dll_pll"
     n_channels = int(conf.property(f"Channels{sig}.count",
                                    conf.property("Channels.count", 8)))
     # per-channel satellite pinning (ChannelN.satellite, read by the
@@ -183,9 +233,10 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
         acq_threshold=float(conf.property(f"Acquisition{sig}.threshold", 2.0)),
         acq_use_cfar=conf.property(f"Acquisition{sig}.use_CFAR_algorithm", False),
         acq_dwells=int(conf.property(f"Acquisition{sig}.max_dwells", 2)),
-        acq_tong=conf.property(
-            f"Acquisition{sig}.implementation", "").endswith(
-            "Tong_Acquisition"),
+        acq_strategy=acq_strategy,
+        acq_tong=acq_strategy == "tong",
+        track_engine=track_engine,
+        correlator=str(conf.property(f"Tracking{sig}.correlator", "auto")),
         pll_bw_hz=float(conf.property(f"Tracking{sig}.pll_bw_hz", 25.0)),
         dll_bw_hz=float(conf.property(f"Tracking{sig}.dll_bw_hz", 2.0)),
         pll_bw_narrow_hz=float(
@@ -219,3 +270,11 @@ def to_receiver_config(conf: InMemoryConfiguration) -> ReceiverConfig:
         enable_pvt_monitor=bool(conf.property("PVT.enable_monitor", False)),
         pvt_monitor_port=int(conf.property("PVT.monitor_udp_port", 1111)),
     )
+
+
+def to_receiver_configs(conf: InMemoryConfiguration) -> list[ReceiverConfig]:
+    """One ReceiverConfig per configured channel group — the
+    multi-constellation conf contract (Channels_1C.count=8 +
+    Channels_1B.count=8 run GPS L1 and Galileo E1 groups concurrently with
+    one mixed PVT, gnss_flowgraph.cc:1722 set_signals_list)."""
+    return [to_receiver_config(conf, sid) for sid in conf_signal_groups(conf)]

@@ -61,12 +61,13 @@ _BLOCKS = [
     _src("File_Signal_Source"),
     _src("Custom_UDP_Signal_Source", note="io.network.UdpSource"),
     _src("RtlTcp_Signal_Source", note="io.network.RtlTcpSource"),
-    _src("Nsr_File_Signal_Source", note="2-bit packed reader (io.formats)"),
+    _src("Nsr_File_Signal_Source", note="io.formats 'nsr' 2-bit real"),
     _src("Two_Bit_Cpx_File_Signal_Source", note="io.formats byte2cpx"),
     _src("Two_Bit_Packed_File_Signal_Source", note="io.formats 2-bit packed"),
-    _src("Spir_File_Signal_Source", note="io.formats int32 SPIR"),
-    _src("Spir_GSS6450_File_Signal_Source", note="io.formats SPIR GSS6450"),
-    _src("Labsat_Signal_Source", note="io.formats LabSat 2/3"),
+    _src("Spir_File_Signal_Source", note="io.formats 'spir' 1-bit int32"),
+    _src("Spir_GSS6450_File_Signal_Source",
+         note="io.formats 'spir_gss6450_{2,4}bit'"),
+    _src("Labsat_Signal_Source", note="io.labsat.LabsatSource (LS2/LS3)"),
     _src("UHD_Signal_Source", "hardware", "USRP RF front-end"),
     _src("GN3S_Signal_Source", "hardware", "GN3S dongle"),
     _src("Raw_Array_Signal_Source", "hardware", "antenna array front-end"),
@@ -93,7 +94,8 @@ _BLOCKS = [
     BlockInfo("Notch_Filter", "filter", strategy="notch"),
     BlockInfo("Notch_Filter_Lite", "filter", strategy="notch"),
     BlockInfo("Pulse_Blanking_Filter", "filter", strategy="pulse_blanking"),
-    BlockInfo("Beamformer_Filter", "filter", strategy="beamformer"),
+    BlockInfo("Beamformer_Filter", "filter", strategy="beamformer",
+              status="hardware", note="multi-antenna array front-end"),
     # resamplers
     BlockInfo("Direct_Resampler", "resampler"),
     BlockInfo("Fractional_Resampler", "resampler"),
@@ -182,6 +184,40 @@ _BLOCKS = [
 ]
 
 REGISTRY: dict[str, BlockInfo] = {b.name: b for b in _BLOCKS}
+
+# strategy -> implementing (module, attribute): every 'native' acquisition/
+# tracking strategy must point at real code (tests import each one; the
+# Receiver dispatches through these via runtime.config.to_receiver_config)
+STRATEGY_IMPL: dict[tuple[str, str], tuple[str, str]] = {
+    ("acquisition", "pcps"): ("gnss_sdr_1_tpu.acquire.pcps",
+                              "PcpsAcquisition"),
+    ("acquisition", "assisted"): ("gnss_sdr_1_tpu.runtime.assistance",
+                                  "predict_visible"),
+    ("acquisition", "tong"): ("gnss_sdr_1_tpu.acquire.pcps",
+                              "PcpsAcquisition"),      # .acquire_tong
+    ("acquisition", "quicksync"): ("gnss_sdr_1_tpu.acquire.variants",
+                                   "QuickSyncAcquisition"),
+    ("acquisition", "cccwsr"): ("gnss_sdr_1_tpu.acquire.variants",
+                                "CccwsrAcquisition"),
+    ("acquisition", "fine_doppler"): ("gnss_sdr_1_tpu.acquire.variants",
+                                      "FineDopplerAcquisition"),
+    ("acquisition", "8ms"): ("gnss_sdr_1_tpu.acquire.variants",
+                             "Pcps8msAcquisition"),
+    ("acquisition", "caf"): ("gnss_sdr_1_tpu.acquire.variants",
+                             "CafAcquisition"),
+    ("tracking", "dll_pll"): ("gnss_sdr_1_tpu.track.engine",
+                              "TrackingEngine"),
+    ("tracking", "veml"): ("gnss_sdr_1_tpu.track.engine", "TrackingEngine"),
+    ("tracking", "kf"): ("gnss_sdr_1_tpu.track.kf", "KfTrackingEngine"),
+}
+
+
+def strategy_impl(kind: str, strategy: str):
+    """Import and return the implementing class/function for a strategy."""
+    import importlib
+
+    mod, attr = STRATEGY_IMPL[(kind, strategy)]
+    return getattr(importlib.import_module(mod), attr)
 
 
 def resolve(name: str) -> BlockInfo:

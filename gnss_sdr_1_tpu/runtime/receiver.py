@@ -46,6 +46,13 @@ class ReceiverConfig:
     acq_tong: bool = False           # Tong sequential detector
     tong_init: int = 2
     tong_max: int = 10
+    # acquisition strategy from the conf implementation= name, routed
+    # through runtime.factory (gnss_block_factory.cc:1552-1709):
+    # pcps | tong | assisted | quicksync | cccwsr | fine_doppler | 8ms | caf
+    acq_strategy: str = "pcps"
+    # tracking engine from Tracking_XX.implementation: dll_pll | kf
+    # (GPS_L1_CA_KF_Tracking -> track.kf.KfTrackingEngine)
+    track_engine: str = "dll_pll"
     doppler_step2_hz: float = 40.0
     num_doppler_bins_step2: int = 10
     # tracking
@@ -60,7 +67,11 @@ class ReceiverConfig:
     pull_in_time_s: float = 0.3
     early_late_space_chips: float = 0.5
     very_early_late_space_chips: float = 0.6
-    correlator: str = "gather"   # 'fft' = TPU fast path (see PERF.md)
+    # correlator strategy (Tracking_XX.correlator conf key): 'auto' picks
+    # the fused Pallas chain on TPU and the exact gather path on CPU
+    # (PERF.md: per-sample gathers serialize on TPU; the chunked paths are
+    # the fast ones there)
+    correlator: str = "auto"     # auto | gather | fft | mxu | pallas
     # per-channel satellite pinning (ChannelN.satellite=PRN, read by the
     # reference flowgraph at gnss_flowgraph.cc:1076-1090); None = dynamic
     channel_satellites: tuple = ()
@@ -141,26 +152,79 @@ class Receiver:
         if (spec.secondary_code_length > 0
                 or spec.chips_per_symbol <= spec.code_length_chips):
             acq_bit_transition = True
+        acq_cfg = AcqConfig(
+            fs_hz=fs,
+            samples_per_code=self.samples_per_code,
+            samples_per_chip=max(1, int(round(fs / spec.code_rate_chips_s))),
+            doppler_max_hz=cfg.doppler_max_hz,
+            doppler_step_hz=cfg.doppler_step_hz,
+            max_dwells=cfg.acq_dwells,
+            bit_transition_flag=acq_bit_transition,
+            use_cfar=cfg.acq_use_cfar,
+            threshold=cfg.acq_threshold,
+            make_two_steps=cfg.acq_two_steps,
+            doppler_step2_hz=cfg.doppler_step2_hz,
+            num_doppler_bins_step2=cfg.num_doppler_bins_step2,
+        )
+        fs_code_rate = (virtual_rate, spec.code_length_chips * spc_code)
         self.acq = PcpsAcquisition(
-            AcqConfig(
-                fs_hz=fs,
-                samples_per_code=self.samples_per_code,
-                samples_per_chip=max(1, int(round(fs / spec.code_rate_chips_s))),
-                doppler_max_hz=cfg.doppler_max_hz,
-                doppler_step_hz=cfg.doppler_step_hz,
-                max_dwells=cfg.acq_dwells,
-                bit_transition_flag=acq_bit_transition,
-                use_cfar=cfg.acq_use_cfar,
-                threshold=cfg.acq_threshold,
-                make_two_steps=cfg.acq_two_steps,
-                doppler_step2_hz=cfg.doppler_step2_hz,
-                num_doppler_bins_step2=cfg.num_doppler_bins_step2,
-            ),
-            self._codes,
-            fs_code_rate=(virtual_rate,
-                          spec.code_length_chips * spc_code),
+            acq_cfg, self._codes, fs_code_rate=fs_code_rate,
             freq_offsets_by_prn=self._fdma_offsets,
         )
+        # acquisition strategy dispatch (conf implementation= names routed
+        # through runtime.factory; gnss_block_factory.cc:1552-1709)
+        strat = cfg.acq_strategy
+        if cfg.acq_tong and strat == "pcps":
+            strat = "tong"
+        self.acq_strategy = strat
+        self._acq_tong = strat == "tong"
+        if strat in ("cccwsr", "8ms", "caf"):
+            from ..codes.sampling import resample_code
+            sampled = {p: resample_code(
+                np.asarray(self._codes[p], dtype=np.float32), fs,
+                virtual_rate, self.samples_per_code)
+                for p in cfg.prn_search}
+        if strat == "fine_doppler":
+            from ..acquire import FineDopplerAcquisition
+            self.acq = FineDopplerAcquisition(self.acq)
+        elif strat == "quicksync":
+            from ..acquire import QuickSyncAcquisition
+            self.acq = QuickSyncAcquisition(
+                acq_cfg, self._codes, folding_factor=2,
+                fs_code_rate=fs_code_rate)
+        elif strat == "cccwsr":
+            if cfg.signal_id != "1B":
+                raise ValueError("CCCWSR acquisition is a Galileo E1 "
+                                 "strategy (data+pilot CBOC components)")
+            from ..acquire import CccwsrAcquisition
+            from ..codes import galileo_e1_sinboc11, galileo_e1c_code
+            pilots = {p: resample_code(
+                galileo_e1_sinboc11(galileo_e1c_code(p)), fs,
+                virtual_rate, self.samples_per_code)
+                for p in cfg.prn_search}
+            self.acq = CccwsrAcquisition(acq_cfg, sampled, pilots)
+        elif strat == "8ms":
+            if cfg.signal_id != "1B":
+                raise ValueError("8ms acquisition is a Galileo E1 strategy")
+            from ..acquire import Pcps8msAcquisition
+            import dataclasses as _dc
+            self.acq = Pcps8msAcquisition(
+                _dc.replace(acq_cfg, sampled_ms=2), sampled)
+        elif strat == "caf":
+            if cfg.signal_id != "5X":
+                raise ValueError("noncoherent-IQ CAF acquisition is a "
+                                 "Galileo E5a strategy")
+            from ..acquire import CafAcquisition
+            from ..codes.galileo_e5 import galileo_e5aq_code
+            from ..codes.sampling import resample_code as _rs
+            pilots = {p: _rs(
+                np.asarray(galileo_e5aq_code(p), dtype=np.float32), fs,
+                10.23e6, self.samples_per_code) for p in cfg.prn_search}
+            self.acq = CafAcquisition(
+                acq_cfg, sampled, pilots,
+                caf_window_hz=8.0 * cfg.doppler_step_hz)
+        elif strat not in ("pcps", "tong", "assisted"):
+            raise ValueError(f"unknown acquisition strategy '{strat}'")
         # bit / secondary-code period in epochs — the coherent-extension
         # alignment grid (20 ms GPS bit, NH20, CS20; NH10 on L5)
         self._sec_period = {
@@ -188,33 +252,71 @@ class Receiver:
             sec_codes = np.tile(np.asarray(NH10, dtype=np.float32),
                                 (len(self.acq.prns), 1))
             sec_data = True
-        self.trk = TrackingEngine(
-            TrackConfig(
-                fs_hz=fs,
-                code_length_chips=spec.code_length_chips,
-                chip_rate_chips_s=spec.code_rate_chips_s,
-                carrier_freq_hz=spec.carrier_freq_hz,
-                n_channels=cfg.n_channels,
-                code_samples_per_chip=spc_code,
-                veml=is_veml,
-                pll_bw_hz=cfg.pll_bw_hz,
-                dll_bw_hz=cfg.dll_bw_hz,
-                pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
-                dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
-                extend_correlation_symbols=max(1, min(
-                    cfg.extend_correlation_symbols,
-                    self._sec_period or 10**9)),
-                enable_fll_pull_in=cfg.enable_fll_pull_in,
-                pull_in_time_s=cfg.pull_in_time_s,
-                correlator=cfg.correlator,
-                early_late_space_chips=(
-                    0.15 if is_veml else cfg.early_late_space_chips),
-                very_early_late_space_chips=cfg.very_early_late_space_chips,
-                sec_data=sec_data,
-            ),
-            np.stack([self._codes[p] for p in self.acq.prns]),
-            sec_codes=sec_codes,
-        )
+        # correlator strategy: 'auto' -> fused Pallas chain on TPU, exact
+        # gather on CPU (Tracking_XX.correlator conf key)
+        correlator = cfg.correlator
+        if correlator == "auto":
+            import jax
+
+            correlator = "pallas" if jax.default_backend() == "tpu" \
+                else "gather"
+        self.correlator = correlator
+        # tracking engine selection (Tracking_XX.implementation routed
+        # through runtime.factory): GPS_L1_CA_KF_Tracking -> the Kalman
+        # carrier tracker (gps_l1_ca_kf_tracking_cc.h:76 — a drop-in
+        # channel tracking implementation producing the same outputs)
+        self.trk_kind = cfg.track_engine
+        if cfg.track_engine == "kf":
+            from ..track.kf import KfTrackConfig, KfTrackingEngine
+
+            if spc_code != 1:
+                raise ValueError(
+                    "KF tracking supports chip-rate replicas (GPS L1-class "
+                    f"signals); signal {cfg.signal_id} has {spc_code} "
+                    "code samples per chip")
+            self.trk = KfTrackingEngine(
+                KfTrackConfig(
+                    fs_hz=fs,
+                    code_length_chips=spec.code_length_chips,
+                    chip_rate_chips_s=spec.code_rate_chips_s,
+                    carrier_freq_hz=spec.carrier_freq_hz,
+                    n_channels=cfg.n_channels,
+                    dll_bw_hz=cfg.dll_bw_hz,
+                    early_late_space_chips=cfg.early_late_space_chips,
+                ),
+                np.stack([self._codes[p] for p in self.acq.prns]),
+            )
+        elif cfg.track_engine != "dll_pll":
+            raise ValueError(
+                f"unknown tracking engine '{cfg.track_engine}'")
+        else:
+            self.trk = TrackingEngine(
+                TrackConfig(
+                    fs_hz=fs,
+                    code_length_chips=spec.code_length_chips,
+                    chip_rate_chips_s=spec.code_rate_chips_s,
+                    carrier_freq_hz=spec.carrier_freq_hz,
+                    n_channels=cfg.n_channels,
+                    code_samples_per_chip=spc_code,
+                    veml=is_veml,
+                    pll_bw_hz=cfg.pll_bw_hz,
+                    dll_bw_hz=cfg.dll_bw_hz,
+                    pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
+                    dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
+                    extend_correlation_symbols=max(1, min(
+                        cfg.extend_correlation_symbols,
+                        self._sec_period or 10**9)),
+                    enable_fll_pull_in=cfg.enable_fll_pull_in,
+                    pull_in_time_s=cfg.pull_in_time_s,
+                    correlator=correlator,
+                    early_late_space_chips=(
+                        0.15 if is_veml else cfg.early_late_space_chips),
+                    very_early_late_space_chips=cfg.very_early_late_space_chips,
+                    sec_data=sec_data,
+                ),
+                np.stack([self._codes[p] for p in self.acq.prns]),
+                sec_codes=sec_codes,
+            )
         self._slot_of_prn = {p: i for i, p in enumerate(self.acq.prns)}
 
         self.state = self.trk.init_state()
@@ -273,7 +375,7 @@ class Receiver:
         idle_channels = [c for c, p in enumerate(self.channel_prn) if p is None]
         if not idle_channels:
             return
-        if self.cfg.acq_tong:
+        if self._acq_tong:
             res = self.acq.acquire_tong(
                 samples, tong_init=self.cfg.tong_init,
                 tong_max=self.cfg.tong_max,
@@ -311,12 +413,22 @@ class Receiver:
                 continue
             idle_channels.remove(ch)
             self.channel_prn[ch] = prn
-            self.state = self.trk.activate_channel(
-                self.state, ch, self._slot_of_prn[prn],
-                float(res.delay_samples[k]), float(res.doppler_hz[k]),
-                samples_abs_offset, self._pos,
-                carr_offset_hz=self._fdma_offsets.get(prn, 0.0),
-            )
+            if self.trk_kind == "kf":
+                # the KF seeds its Doppler prior from the acq grid step
+                # (gps_l1_ca_kf_tracking_cc.cc:276-279)
+                self.state = self.trk.activate_channel(
+                    self.state, ch, self._slot_of_prn[prn],
+                    float(res.delay_samples[k]), float(res.doppler_hz[k]),
+                    samples_abs_offset, self._pos,
+                    doppler_step_hz=self.cfg.doppler_step_hz,
+                )
+            else:
+                self.state = self.trk.activate_channel(
+                    self.state, ch, self._slot_of_prn[prn],
+                    float(res.delay_samples[k]), float(res.doppler_hz[k]),
+                    samples_abs_offset, self._pos,
+                    carr_offset_hz=self._fdma_offsets.get(prn, 0.0),
+                )
             # telemetry decoders per signal: LNAV (1C), I/NAV (1B);
             # CNAV/GNAV/DNAV channel wrappers follow the same interface
             if self.cfg.signal_id == "1C":
@@ -374,7 +486,7 @@ class Receiver:
         lens = np.asarray(outs.cur_len)
         cn0s = np.asarray(outs.cn0_dbhz)
         active = np.asarray(outs.active)
-        p_idx = self.trk.cfg.prompt_index
+        p_idx = getattr(self.trk.cfg, "prompt_index", 1)
         for ch, prn in enumerate(self.channel_prn):
             if prn is None:
                 continue
@@ -549,6 +661,43 @@ class Receiver:
 
     hot_start = warm_start
 
+    def _kf_track_segment(self, seg: np.ndarray, span: int):
+        """Segment tracking through the KF engine (block loop — the KF
+        engine closes its filter every epoch and has no chunked capture
+        program).  Returns (state, TrackOutputs-shaped numpy outputs with
+        segment-relative epoch starts)."""
+        import jax
+
+        from ..track.engine import TrackOutputs
+        from ..utils.planar import to_planar
+
+        base = int(round(self.cfg.fs_hz * self.cfg.block_ms * 1e-3))
+        nmax = self.trk.cfg.epoch_samples_max
+        seg_p = to_planar(np.asarray(seg, dtype=np.complex64)) \
+            if np.iscomplexobj(seg) else np.asarray(seg)
+        st = self.state
+        pos = 0
+        pieces = []
+        while pos + base <= span:
+            st, outs = self.trk.track_block(
+                seg_p[pos : pos + base + nmax], st, base)
+            host = jax.tree_util.tree_map(np.asarray, outs)
+            host = host._replace(start=host.start + pos)
+            pieces.append(host)
+            pos += base
+        cat = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *pieces)
+        outs = TrackOutputs(
+            valid=cat.valid, start=cat.start, cur_len=cat.cur_len,
+            correlators=cat.correlators,
+            carrier_doppler_hz=cat.carrier_doppler_hz,
+            code_freq_delta=cat.code_freq_delta,
+            rem_code_phase_samples=cat.rem_code_phase_samples,
+            rem_carr_phase_rad=cat.rem_carr_phase_rad,
+            cn0_dbhz=cat.cn0_dbhz, active=cat.active,
+        )
+        return st, outs
+
     def _maybe_extend(self) -> None:
         """State 2 -> 3/4 switch once telemetry reports bit / secondary
         sync: coherent extension over extend_correlation_symbols epochs
@@ -556,6 +705,8 @@ class Receiver:
         (dll_pll_veml_tracking.cc:1774-1900).  For signals with a
         data-channel secondary code (B1I NH20, E5a-I CS20) the switch also
         enables the engine's in-loop wipe-off at the host-synced phase."""
+        if self.trk_kind != "dll_pll":
+            return          # the KF tracker has no extended/narrow states
         n = self.trk.cfg.extend_correlation_symbols
         sig = self.cfg.signal_id
         period = self._sec_period
@@ -705,8 +856,12 @@ class Receiver:
                 break
             span = n_blocks * base
             seg = samples[self._pos : self._pos + span + nmax]
-            seg_dev = jnp.asarray(to_planar(seg))
-            self.state, outs = self.trk.track_capture(seg_dev, self.state, span)
+            if self.trk_kind == "kf":
+                self.state, outs = self._kf_track_segment(seg, span)
+            else:
+                seg_dev = jnp.asarray(to_planar(seg))
+                self.state, outs = self.trk.track_capture(
+                    seg_dev, self.state, span)
             self._harvest(outs, abs_base + self._pos)
             self._maybe_extend()
             self._observables_and_pvt()

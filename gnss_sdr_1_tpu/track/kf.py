@@ -120,6 +120,10 @@ class KfTrackOutputs(NamedTuple):
     carr_phase_sigma2: jnp.ndarray   # R estimate in use (:791)
     code_freq_delta: jnp.ndarray
     rem_code_phase_samples: jnp.ndarray
+    # filtered NCO carrier phase (kf_x(0), d_rem_carr_phase_rad :786)
+    # wrapped to [0, 2pi) — the receiver's phase ledger consumes it like
+    # the DLL/PLL engine's rem_carr_phase_rad output
+    rem_carr_phase_rad: jnp.ndarray
     cn0_dbhz: jnp.ndarray
     active: jnp.ndarray
 
@@ -412,6 +416,7 @@ class KfTrackingEngine:
             carr_phase_sigma2=jnp.where(valid, r_est, 0.0),
             code_freq_delta=new_state.code_freq_delta,
             rem_code_phase_samples=new_state.rem_code_phase_samples,
+            rem_carr_phase_rad=jnp.mod(new_state.x[:, 0], f32(_TWO_PI)),
             cn0_dbhz=jnp.where(valid & hist_full, cn0, 0.0),
             active=new_state.active,
         )

@@ -86,3 +86,110 @@ def test_rtl_tcp_client_protocol():
         x, [-0.5 - 0.5j, 127.5 - 127.5j, -127.5 + 127.5j])
     cli.close()
     srv.close()
+
+
+def test_nsr_2bit_real_unpack():
+    """NSR: 4 real 2-bit samples per byte, LSB pair first
+    (unpack_byte_2bit_samples.cc:66-82)."""
+    # byte 0b11100100 -> pairs LSB-first: 00, 01, 10, 11 -> 0, 1, -2, -1
+    raw = np.array([0b11100100], dtype=np.uint8)
+    x = convert_to_complex64(raw, FORMATS["nsr"])
+    assert np.allclose(x.real, [0.0, 1.0, -2.0, -1.0])
+    assert np.allclose(x.imag, 0.0)
+
+
+def test_spir_1bit_unpack():
+    """SPIR int32: channel-1 I/Q from bits 0/1, +-32767
+    (unpack_intspir_1bit_samples.cc:60-81)."""
+    raw = np.array([0b00, 0b01, 0b10, 0b11], dtype=np.int32)
+    x = convert_to_complex64(raw, FORMATS["spir"])
+    assert np.allclose(x.real, [-32767.0, 32767.0, -32767.0, 32767.0])
+    assert np.allclose(x.imag, [-32767.0, -32767.0, 32767.0, 32767.0])
+
+
+def test_spir_gss6450_word_order_and_sign():
+    """GSS6450: samples packed LSB-first but emitted in reversed order
+    within each int32 (unpack_spir_gss6450_samples.cc decode_4bits_word
+    out[7-i]/out[3-i]); 2-bit and 4-bit two's-complement components."""
+    # 2-bit: word with first extracted pair I=01(+1) Q=11(-1), all other
+    # pairs zero -> that pair lands at output index 7
+    w = np.array([0b1101], dtype=np.uint32)
+    x = convert_to_complex64(w, FORMATS["spir_gss6450_2bit"])
+    assert len(x) == 8
+    assert x[7] == np.complex64(1.0 - 1.0j)
+    assert np.allclose(x[:7], 0.0)
+    # 4-bit: first byte I=0x9 (-7) Q=0x3 (+3) -> output index 3
+    w = np.array([0x39], dtype=np.uint32)
+    x = convert_to_complex64(w, FORMATS["spir_gss6450_4bit"])
+    assert len(x) == 4
+    assert x[3] == np.complex64(-7.0 + 3.0j)
+
+
+def _labsat_header(bits_per_sample=2, channel_selector=1):
+    hdr = bytearray(1024)
+    hdr[8:11] = b"LS3"
+    hdr[11] = 1                               # sub version
+    struct.pack_into("<i", hdr, 12, 1024)     # header bytes
+    struct.pack_into("<H", hdr, 16, 2)        # section id 2
+    struct.pack_into("<i", hdr, 18, 32)       # section length
+    hdr[22] = 2                               # ref clock: external 10 MHz
+    hdr[23] = bits_per_sample
+    hdr[24] = channel_selector
+    hdr[25] = 1                               # quantization
+    hdr[26] = 0                               # channel A: GPS
+    hdr[27] = 1                               # channel B: GLONASS
+    return bytes(hdr)
+
+
+def test_labsat3_2bit_source(tmp_path):
+    """LabSat3 single-channel 2-bit decode: 8 samples per int16, I/Q from
+    bit pairs MSB-first, 0/1 -> -1/+1 (labsat23_source.cc
+    decode_samples_one_channel type 2), multi-file sequences chained."""
+    from gnss_sdr_1_tpu.io.labsat import LabsatSource
+
+    # word 0b1000000000000011: sample0 I=1 Q=0 -> (+1,-1);
+    # sample7 I=1 Q=1 -> (+1,+1); samples 1-6 -> (-1,-1)
+    word = 0b1000000000000011
+    f0 = tmp_path / "cap_0000.LS3"
+    f0.write_bytes(_labsat_header(2) + struct.pack("<H", word))
+    f1 = tmp_path / "cap_0001.LS3"
+    f1.write_bytes(struct.pack("<H", word))
+    src = LabsatSource(str(tmp_path / "cap"))
+    assert src.header["version"] == 3
+    assert src.header["constellation_a"] == "GPS"
+    assert src.n_samples == 16                # 8 per word, 2 files
+    x = src.read(0, 16)
+    assert x[0] == np.complex64(1.0 - 1.0j)
+    assert x[7] == np.complex64(1.0 + 1.0j)
+    assert np.allclose(x[1:7], -1.0 - 1.0j)
+    assert np.allclose(x[:8], x[8:])          # second file = same word
+    # offset read across the file boundary
+    assert np.allclose(src.read(6, 4), [x[6], x[7], x[0], x[1]])
+
+
+def test_labsat3_4bit_decode():
+    """4-bit component mapping 00->0.5, 01->1.5, 10->-1.5, 11->-0.5
+    (decode_samples_one_channel type 4 incl. the +0.5 offset)."""
+    from gnss_sdr_1_tpu.io.labsat import decode_labsat_words
+
+    # sample 0 bit layout [I_hi Q_hi I_lo Q_lo] = bits 15..12
+    # (In-Phase from bs[15]/bs[13], Quadrature from bs[14]/bs[12]):
+    # I=01 (1) -> 1.5, Q=00 (0) -> 0.5
+    w = np.array([0b0010_0000_0000_0000], dtype=np.int64)
+    x = decode_labsat_words(w, 4)
+    assert x[0] == np.complex64(1.5 + 0.5j)
+    # I=11 -> -1+0.5, Q=10 -> -2+0.5
+    w = np.array([0b1110_0000_0000_0000], dtype=np.int64)
+    x = decode_labsat_words(w, 4)
+    assert x[0] == np.complex64(-0.5 - 1.5j)
+
+
+def test_labsat_dual_channel_rejected(tmp_path):
+    from gnss_sdr_1_tpu.io.labsat import LabsatHeaderError, LabsatSource
+
+    f0 = tmp_path / "dual_0000.LS3"
+    f0.write_bytes(_labsat_header(2, channel_selector=0))
+    import pytest
+
+    with pytest.raises(LabsatHeaderError):
+        LabsatSource(str(tmp_path / "dual"))

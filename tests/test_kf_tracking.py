@@ -129,3 +129,53 @@ def test_kf_order3_high_dynamics():
     assert abs(np.mean(dop[idx[-30:]]) - truth) < 10.0
     rate = np.asarray(outs.doppler_rate_hz_s)[idx[-200:], 0]
     assert abs(np.mean(rate) - 100.0) < 20.0
+
+
+def test_kf_receiver_end_to_end_fix():
+    """GPS_L1_CA_KF_Tracking selected from a conf drives the KF engine as
+    the channel tracker and produces PVT fixes (the reference's KF block is
+    a drop-in tracking implementation, gps_l1_ca_kf_tracking_cc.h:76)."""
+    import pathlib
+
+    from gnss_sdr_1_tpu.codes import gps_l1ca_code
+    from gnss_sdr_1_tpu.constants import GPS_L1_CA
+    from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef
+    from gnss_sdr_1_tpu.runtime import Receiver
+    from gnss_sdr_1_tpu.runtime.config import (InMemoryConfiguration,
+                                               to_receiver_config)
+    from gnss_sdr_1_tpu.siggen.generator import generate_baseband
+    from gnss_sdr_1_tpu.siggen.scenario import build_scenario
+
+    fs, dur = 4.0e6, 24.0
+    rx_ecef = llh_to_ecef(np.radians(41.275), np.radians(1.988), 80.0)
+    prns = [1, 2, 3, 4, 5, 6]
+    scen = build_scenario(rx_ecef, prns, t0_tow=345601.25, duration_s=dur,
+                          cn0_dbhz=47.0, subframe_cycle=(1, 2, 3))
+    cache = pathlib.Path("/tmp/gnss_sdr_tpu_testcache")
+    cache.mkdir(exist_ok=True)
+    key = cache / f"syspos_{fs:.0f}_24_v3.npy"   # shared with system tier
+    if key.exists():
+        x = np.load(key)[: int(fs * dur)]
+    else:
+        x = generate_baseband(GPS_L1_CA, scen.sats,
+                              {p: gps_l1ca_code(p) for p in prns},
+                              fs, dur, noise=True)
+
+    conf = InMemoryConfiguration({
+        "GNSS-SDR.internal_fs_sps": str(fs),
+        "Channels_1C.count": "6",
+        "Acquisition_1C.implementation": "GPS_L1_CA_PCPS_Acquisition",
+        "Tracking_1C.implementation": "GPS_L1_CA_KF_Tracking",
+    })
+    rcfg = to_receiver_config(conf)
+    assert rcfg.track_engine == "kf"
+    rcfg = type(rcfg)(**{**rcfg.__dict__, "prn_search": tuple(prns)})
+    rx = Receiver(rcfg)
+    assert rx.trk_kind == "kf"
+    sols = rx.process(x)
+    assert len(sols) >= 10, "KF receiver produced no fixes"
+    errs = np.stack([s.rx_ecef_m - scen.rx_ecef for s in sols])
+    e3d = np.linalg.norm(errs, axis=1)
+    # the KF tracker runs wide 1 ms epochs (no extended mode); hold it to
+    # the reference's static 3D bar
+    assert np.median(e3d) < 5.0, f"median 3D error {np.median(e3d):.2f} m"

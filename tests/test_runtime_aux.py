@@ -396,7 +396,97 @@ def test_rinex_v2_obs_and_nav():
     navh = printers.rinex_nav_header(version=2)
     assert "N: GPS NAV DATA" in navh and "2.11" in navh
 
+    # GLONASS has its own 2.11 nav file type ('G: GLONASS NAV DATA',
+    # rinex_printer.cc version-2 GLONASS branch); Galileo does not
     from gnss_sdr_1_tpu.telemetry.gnav import GlonassEphemeris
     glo = GlonassEphemeris(slot=5, freq_channel=-3, tb_s=11700.0)
+    grec = printers.rinex_nav_record(glo, version=2)
+    glines = grec.splitlines()
+    assert glines[0].startswith(" 5 ") and len(glines) == 4
+    assert all(l.startswith("   ") and len(l) == 79 for l in glines[1:])
+    gh = printers.rinex_nav_header(version=2, system="R")
+    assert "G: GLONASS NAV DATA" in gh and "2.11" in gh
+
+    from gnss_sdr_1_tpu.telemetry.inav import GalileoEphemeris
+    gal = GalileoEphemeris(prn=11)
     with pytest.raises(ValueError):
-        printers.rinex_nav_record(glo, version=2)
+        printers.rinex_nav_record(gal, version=2)
+
+
+def test_rinex_header_time_first_obs_interval_and_v2_slot_gate():
+    """TIME OF FIRST OBS / INTERVAL records (rinex_printer.cc:4306,4325)
+    and the version-3-only GLONASS SLOT / FRQ # gate (:4329)."""
+    import datetime
+
+    from gnss_sdr_1_tpu.pvt import printers
+
+    t0 = datetime.datetime(2022, 12, 15, 0, 0, 1, 500000,
+                           tzinfo=datetime.timezone.utc)
+    for ver in (2, 3):
+        hdr = printers.rinex_obs_header(
+            signals=("1C",), version=ver, time_first_obs=t0, interval_s=0.02,
+            glonass_slots={1: -2})
+        tfo = next(l for l in hdr.splitlines() if "TIME OF FIRST OBS" in l)
+        # 5I6 + F13.7 + 5X + A3 per the spec table
+        assert tfo[:6] == f"{2022:6d}" and tfo[30:43] == f"{1.5:13.7f}"
+        assert tfo[48:51] == "GPS"
+        itv = next(l for l in hdr.splitlines() if l[60:].startswith("INTERVAL"))
+        assert itv[:10] == f"{0.02:10.3f}"
+        if ver == 2:
+            assert "GLONASS SLOT / FRQ #" not in hdr
+        else:
+            assert "GLONASS SLOT / FRQ #" in hdr
+
+
+def test_rinex_v2_multisignal_column_alignment():
+    """2.11 multi-signal files: observation columns follow the declared
+    # / TYPES OF OBSERV order, blank 16-char fields for observables a
+    satellite lacks, 5 observations per line, SSI carries the quantized
+    C/N0 digit (rinex_printer.cc v2 obs lines)."""
+    from gnss_sdr_1_tpu.pvt import printers
+
+    sigs = ("1C", "2S", "L5")
+    declared = printers._v2_obs_types(sigs)     # 12 codes -> 3 lines/sat
+    assert len(declared) == 12
+    ep = printers.rinex_obs_epoch(
+        2240, 345601.0,
+        {("1C", 7): {"pseudorange_m": 2.1e7, "carrier_phase_cycles": 1e5,
+                     "doppler_hz": 1000.0, "cn0_dbhz": 44.0},
+         ("2S", 7): {"pseudorange_m": 2.1e7 + 3.0, "cn0_dbhz": 38.0}},
+        version=2, signals=sigs)
+    lines = ep.splitlines()
+    # one satellite G07 (1C+2S merge), 12 declared fields -> 3 obs lines
+    assert lines[0].endswith("G07") and len(lines) == 4
+    # line 1: C1 L1 D1 S1 C2 -> positions 0-4; C1 SSI digit = floor(44/6)=7
+    assert lines[1][:14] == f"{2.1e7:14.3f}" and lines[1][15] == "7"
+    c2 = lines[1][64:78]
+    assert c2 == f"{2.1e7 + 3.0:14.3f}"
+    # line 2: L2(blank) D2(blank) S2 C5(blank) L5(blank): S2 at position 2
+    assert lines[2][:32].strip() == ""
+    assert lines[2][32:46] == f"{38.0:14.3f}"
+    # line 3: D5(blank) S5(blank) -> fully blank, rstripped to empty
+    assert lines[3].strip() == ""
+
+
+def test_nmea_gsa_gsv():
+    """GPGSA/GPGSV sentences (nmea_printer.cc:205-219)."""
+    from gnss_sdr_1_tpu.pvt import printers
+
+    sol = PvtSolution(
+        valid=True, rx_ecef_m=np.zeros(3), rx_clock_bias_s=0.0,
+        rx_vel_ecef_ms=np.zeros(3), rx_clock_drift_s_s=0.0,
+        rx_time_tow_s=1.0, dops={"pdop": 1.8, "hdop": 1.0, "vdop": 1.5},
+        n_sats=5)
+    gsa = printers.nmea_gsa(sol, [3, 7, 11, 19, 28])
+    assert gsa.startswith("$GPGSA,A,3,03,07,11,19,28,")
+    assert ",1.8,1.0,1.5*" in gsa
+    body = gsa[1:gsa.index("*")]
+    assert gsa.endswith(printers._nmea_checksum(body))
+
+    sats = [(3, 45.2, 120.0, 44.0), (7, 12.0, 300.0, 38.0),
+            (11, 80.0, 10.0, 47.0), (19, 30.0, 200.0, 41.0),
+            (28, 5.0, 90.0, 33.0)]
+    gsv = printers.nmea_gsv(sats)
+    assert len(gsv) == 2
+    assert gsv[0].startswith("$GPGSV,2,1,05,03,45,120,44,")
+    assert gsv[1].startswith("$GPGSV,2,2,05,28,05,090,33*")

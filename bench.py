@@ -119,12 +119,17 @@ def run_bench() -> dict:
         wall = time.time() - t0
         signal_s = consumed / FS
     else:
-        # whole-capture program: one device call (warmup compiles; the timed
-        # call is identical — same shapes + same fresh state)
-        _, outs = eng.track_capture(samples_dev, st, span)
+        # whole-capture program: segmented device calls (one compiled
+        # program, all segments dispatched before readback so packed-buffer
+        # transfers overlap the next segment's compute; engine.track_capture)
+        seg = os.environ.get("GNSS_BENCH_SEGMENT")
+        seg_epochs = int(seg) if seg else None
+        _, outs = eng.track_capture(samples_dev, st, span,
+                                    segment_epochs=seg_epochs)
         np.asarray(outs.valid)
         t0 = time.time()
-        _, outs = eng.track_capture(samples_dev, st, span)
+        _, outs = eng.track_capture(samples_dev, st, span,
+                                    segment_epochs=seg_epochs)
         n_valid = int(np.asarray(outs.valid).sum())
         np.asarray(outs.correlators)   # harvest transfer included
         wall = time.time() - t0

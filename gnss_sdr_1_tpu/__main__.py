@@ -67,9 +67,17 @@ def main(argv=None) -> int:
 
     frontend = None
     rinex_version = 3
+    multi_cfgs = None
     if args.config_file:
+        from .runtime.config import conf_signal_groups, to_receiver_configs
+
         conf = FileConfiguration(args.config_file)
         rcfg = to_receiver_config(conf)
+        # multi-constellation confs (Channels_1C.count + Channels_1B.count
+        # style) run concurrent channel groups with one joint ISB PVT
+        # (gnss_flowgraph.cc:1722 set_signals_list)
+        if len(conf_signal_groups(conf)) > 1:
+            multi_cfgs = to_receiver_configs(conf)
         # PVT.rinex_version (rinex_printer.cc:106 d_version): 2 -> 2.11
         rinex_version = 2 if str(conf.property(
             "PVT.rinex_version", "3")).strip().startswith("2") else 3
@@ -124,6 +132,45 @@ def main(argv=None) -> int:
     if args.pvt_monitor_port:
         rcfg = type(rcfg)(**{**rcfg.__dict__, "enable_pvt_monitor": True,
                              "pvt_monitor_port": args.pvt_monitor_port})
+
+    if multi_cfgs is not None:
+        from .runtime.multi_receiver import MultiReceiver
+
+        names = "+".join(c.signal_id for c in multi_cfgs)
+        print(f"Mixed-constellation run: {names} "
+              f"({'/'.join(str(c.n_channels) for c in multi_cfgs)} channels)")
+        mrx = MultiReceiver(multi_cfgs)
+        t0 = time.time()
+        joint = mrx.process(samples)
+        dt = time.time() - t0
+        dur = src.n_samples / source_fs
+        print(f"Processed in {dt:.1f} s (RTF {dur / dt:.2f}x); "
+              f"{len(joint)} joint PVT fixes")
+        out = pathlib.Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        if joint:
+            sols = [j.solution for j in joint]
+            last = sols[-1]
+            used = ", ".join(
+                f"{sysl}:{len(p)}" for sysl, p in
+                sorted(joint[-1].per_system_prns.items()))
+            print(f"Final joint fix: lat {last.lat_deg:.6f} "
+                  f"lon {last.lon_deg:.6f} h {last.height_m:.1f} m "
+                  f"({used})")
+            (out / "position.kml").write_text(printers.kml_document(sols))
+            (out / "position.gpx").write_text(printers.gpx_document(sols))
+            (out / "position.geojson").write_text(
+                printers.geojson_document(sols))
+            nmea = []
+            for s in sols:
+                utc = printers.gps_time_to_utc(2240, s.rx_time_tow_s)
+                nmea.append(printers.nmea_gga(s, utc))
+                nmea.append(printers.nmea_rmc(s, utc))
+            (out / "position.nmea").write_text("\n".join(nmea) + "\n")
+            print(f"Outputs written to {out}/")
+        else:
+            print("No joint position fix obtained.")
+        return 0
 
     rx = Receiver(rcfg)
     if args.assist:

@@ -737,12 +737,25 @@ class Receiver:
 
     # ---------------- observables + PVT ----------------
 
+    def load_ephemerides(self, ephemerides: dict) -> None:
+        """Hot start: pre-load broadcast ephemerides (A-GNSS XML /
+        telecommand hotstart, control_thread.cc:566 assist_GNSS) so PVT can
+        fix as soon as telemetry TOW-syncs, without waiting the ~18-30 s
+        subframe collection."""
+        self.assist_ephemerides = dict(ephemerides)
+
+    def _eph_for(self, prn: int):
+        dec = self.decoders.get(prn)
+        if dec is not None and dec.ephemeris_complete:
+            return dec.ephemeris
+        return getattr(self, "assist_ephemerides", {}).get(prn)
+
     def _observables_and_pvt(self) -> None:
         cfg = self.cfg
         tick = int(round(cfg.fs_hz * cfg.obs_interval_ms * 1e-3))
         ready_hist = {
             p: h for p, h in self.histories.items()
-            if p in self.decoders and self.decoders[p].ephemeris_complete
+            if p in self.decoders and self._eph_for(p) is not None
             and len(h.start_samples) >= 2
         }
         if len(ready_hist) < 4:
@@ -765,7 +778,7 @@ class Receiver:
             if obs:
                 self.obs_epochs.append((rx_tow, obs))
             if len(obs) >= 4:
-                ephs = {p: self.decoders[p].ephemeris for p in obs}
+                ephs = {p: self._eph_for(p) for p in obs}
                 iono = None
                 if cfg.iono_model == "broadcast":
                     for p in obs:
@@ -868,6 +881,104 @@ class Receiver:
             self._pos += span
             self._blocks_done += n_blocks
         self._abs_base = abs_base + self._pos
+        return self.solutions
+
+    def process_stream(self, blocks, segment_s: float = 1.0,
+                       raw_format: str | None = None) -> list[PvtSolution]:
+        """Real-time streaming pipeline: double-buffered device segments.
+
+        `blocks` yields (offset, chunk) like FileSignalSource.blocks() or
+        io.network sources — complex64 chunks, or RAW interleaved integer
+        items when `raw_format` names an io.formats entry (ishort/ibyte/
+        cshort/cbyte): raw ints ship over the host->device link at 1/4-1/8
+        the planar-float32 width and unpack on device (the reference
+        overlaps I/O and compute with per-block threads, SURVEY §3.1; here
+        segment k+1's dispatch overlaps segment k's readback+harvest).
+
+        The channel FSM runs one segment behind the device (acquisition
+        assignment is applied at dispatch; extension/lock-release on
+        harvest) — the same class of latency as the reference's
+        acquisition worker-thread handoff."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..io.formats import FORMATS, convert_to_complex64
+        from ..utils.planar import to_planar
+
+        if self.trk_kind != "dll_pll":
+            raise ValueError("process_stream supports the DLL/PLL engine")
+        cfg = self.cfg
+        base = int(round(cfg.fs_hz * cfg.block_ms * 1e-3))
+        span = max(1, int(round(segment_s / (cfg.block_ms * 1e-3)))) * base
+        nmax = self.trk.cfg.epoch_samples_max
+        n_epochs = span // (self.trk._t0_int - 2) + 2
+        abs_base = getattr(self, "_abs_base", 0)
+        fmt = FORMATS[raw_format] if raw_format is not None else None
+        ipc = fmt.items_per_sample if fmt is not None else 1
+        if fmt is not None:
+            if fmt.samples_per_item != 1 or ipc != 2:
+                raise ValueError(
+                    "raw streaming supports interleaved I/Q integer "
+                    "formats (ishort/ibyte/cshort/cbyte)")
+
+            @jax.jit
+            def unpack_dev(raw):
+                return raw.reshape(-1, 2).astype(jnp.float32)
+
+        buf_parts: list[np.ndarray] = []
+        buf_len = 0                     # samples buffered
+        consumed = 0                    # samples dispatched (stream-relative)
+        pending: list[tuple] = []
+        reacq_countdown = 0
+
+        def harvest_oldest():
+            packed, seg_start = pending.pop(0)
+            outs = self.trk._unpack_outputs(packed)
+            self._harvest(outs, abs_base + seg_start)
+            self._maybe_extend()
+            self._observables_and_pvt()
+
+        for _, chunk in blocks:
+            chunk = np.asarray(chunk)
+            buf_parts.append(chunk)
+            buf_len += len(chunk) // ipc
+            while buf_len >= span + nmax and not self._standby:
+                buf = np.concatenate(buf_parts) if len(buf_parts) > 1 \
+                    else buf_parts[0]
+                # acquisition on the segment head (idle channels only)
+                if reacq_countdown <= 0:
+                    need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
+                    if buf_len >= need:
+                        head = buf[: need * ipc]
+                        xc = convert_to_complex64(head, fmt) \
+                            if fmt is not None else head
+                        self._pos = consumed
+                        self._acquire_and_assign(consumed, xc)
+                    reacq_countdown = max(1, cfg.reacq_interval_blocks
+                                          // max(1, span // base))
+                reacq_countdown -= 1
+                seg = buf[: (span + nmax) * ipc]
+                if fmt is not None:
+                    seg_dev = unpack_dev(jnp.asarray(seg))
+                else:
+                    seg_dev = jnp.asarray(to_planar(
+                        np.ascontiguousarray(seg)))
+                self.state, packed = self.trk._capture_fn(
+                    seg_dev, self.state, jnp.int32(span),
+                    jnp.int32(n_epochs), n_epochs_cap=n_epochs)
+                self.state = self.trk.rebase(self.state, span)
+                pending.append((packed, consumed))
+                buf_parts = [buf[span * ipc:]]
+                buf_len -= span
+                consumed += span
+                self._blocks_done += span // base
+                # harvest the PREVIOUS segment while this one computes
+                if len(pending) > 1:
+                    harvest_oldest()
+        while pending:
+            harvest_oldest()
+        self._abs_base = abs_base + consumed
+        self._pos = 0
         return self.solutions
 
     # ---------------- checkpoint / resume ----------------

@@ -13,11 +13,13 @@ This implementation speaks the same session flow over the same framing
 delivers the same assistance sets, with the navigation-model payload
 packed at the broadcast LNAV integer quantization exactly as RRLP carries
 it (3GPP TS 44.031 navigation-model fields ARE the subframe integers).
-The payload body uses this profile's tag-length bit layout rather than
-full ASN.1 UPER (the reference embeds ~81k LoC of asn1c-generated tables
-for that); both ends of the profile are provided — SuplServer serves a
-receiver's decoded ephemerides to other receivers, which is the
-self-hosted analogue of an SLP.
+The POS payload body is a REAL RRLP assistanceData PDU in ASN.1 UPER
+(runtime.rrlp — hand-built against the TS 44.031 field tables the
+reference's asn1c-generated code embeds), so the navigation-model/
+assistance bytes are what a real SLP's RRLP payload carries; SuplServer
+serves a receiver's decoded ephemerides to other receivers, the
+self-hosted analogue of an SLP.  encode_assist/decode_assist remain as
+the compact internal serialization used by the assistance store.
 
 Zero-egress environments: everything is loopback-testable
 (tests/test_supl.py).
@@ -305,7 +307,11 @@ class SuplClient:
                 t, _, payload = _read_pdu(s)
                 if t != MSG_POS:
                     return -3
-                self.read_supl_data(decode_assist(payload))
+                # POS payload is a real RRLP assistanceData PDU in ASN.1
+                # UPER (runtime.rrlp; TS 44.031) — the wire format a real
+                # SLP's RRLP positioning payload uses
+                from .rrlp import decode_assistance_pdu
+                self.read_supl_data(decode_assistance_pdu(payload))
                 s.sendall(_pdu(MSG_END, sess))
                 return 0
         except (OSError, ValueError, ConnectionError):
@@ -364,8 +370,9 @@ class SuplServer:
                 t, _, _ = _read_pdu(conn)
                 if t != MSG_POS_INIT:
                     return
+                from .rrlp import encode_assistance_pdu
                 conn.sendall(_pdu(MSG_POS, sess,
-                                  encode_assist(self.assist)))
+                                  encode_assistance_pdu(self.assist)))
                 try:
                     _read_pdu(conn)          # SUPL END
                 except (ConnectionError, ValueError):

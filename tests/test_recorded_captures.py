@@ -84,3 +84,136 @@ def test_glonass_nt1065_recorded_acquisition():
     # delay; the truth handoff is delay 1343, doppler -2750 (tracking test)
     assert abs(r.delay_samples[i] - 1343) <= 7.0, r.delay_samples[i]
     assert abs(r.doppler_hz[i] - (-2750.0)) <= 300.0, r.doppler_hz[i]
+
+
+# ---------------- tracking on recorded RF data (round 4) ----------------
+# The captures are 2-8 ms, so these are correlator pull-in checks — the
+# reference's tracking tests seed from the same handoffs
+# (gps_l1_ca_dll_pll_tracking_test.cc:138-165, SURVEY §4.5) — asserting
+# that the tracking engine's wipe-off + floor resampler produce a coherent,
+# code-aligned prompt on REAL RF samples (not siggen-circular evidence).
+
+GPS_CAPTURE = f"{SAMPLES}/GPS_L1_CA_ID_1_Fs_4Msps_2ms.dat"
+
+
+def _acquire_one(x, fs, cfg, codes, fs_code_rate, prn):
+    eng = PcpsAcquisition(cfg, codes, fs_code_rate=fs_code_rate)
+    r = eng.acquire(x)
+    i = eng.prns.index(prn)
+    assert r.positive[i]
+    return float(r.delay_samples[i]), float(r.doppler_hz[i])
+
+
+@pytest.mark.skipif(not os.path.exists(GPS_CAPTURE),
+                    reason="capture unavailable")
+def test_gps_recorded_tracking_pull_in():
+    """GPS L1 2 ms capture (PRN 1; truth delay 524 samples, doppler
+    -1680 Hz per the shipped signal_analysis.txt): tracking seeded from our
+    own acquisition handoff must produce a code-aligned coherent prompt on
+    the real RF samples, and a wrong-PRN replica must not."""
+    from gnss_sdr_1_tpu.codes import gps_l1ca_code
+    from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+
+    fs = 4e6
+    x = read_capture(GPS_CAPTURE)
+    assert len(x) == 8000
+    acfg = AcqConfig(fs_hz=fs, samples_per_code=4000, samples_per_chip=4,
+                     doppler_max_hz=5000.0, doppler_step_hz=250.0,
+                     max_dwells=2, use_cfar=False, threshold=1.5,
+                     make_two_steps=True, doppler_step2_hz=50.0,
+                     num_doppler_bins_step2=10)
+    delay, dopp = _acquire_one(
+        x, fs, acfg, {1: gps_l1ca_code(1)}, (1.023e6, 1023), 1)
+    assert abs(delay - 524.0) <= 2.0         # reference 0.5-chip bound
+    assert abs(dopp - 1680.0) <= 150.0       # truth +1680 Hz (analysis txt)
+
+    def run(prn, d, f):
+        cfg = TrackConfig(fs_hz=fs, code_length_chips=1023,
+                          chip_rate_chips_s=1.023e6,
+                          carrier_freq_hz=1575.42e6, n_channels=1)
+        eng = TrackingEngine(
+            cfg, np.asarray(gps_l1ca_code(prn), np.float32)[None, :])
+        st = eng.init_state()
+        st = eng.activate_channel(st, 0, 0, d, f, 0, 0)
+        st, out = eng.track_block(x, st, len(x) - cfg.epoch_samples_max)
+        v = np.asarray(out.valid)[:, 0]
+        corr = np.asarray(out.correlators)[v, 0]
+        return corr[..., 0] + 1j * corr[..., 1]
+
+    c = run(1, delay, dopp)
+    assert len(c) >= 1
+    p, e, l = np.abs(c[:, 1]), np.abs(c[:, 0]), np.abs(c[:, 2])
+    assert (p > e).all() and (p > l).all()
+    assert (e > 0.2 * p).all() and (l > 0.2 * p).all()
+    cw = run(7, delay, dopp)                  # wrong PRN: no peak
+    assert np.abs(cw[:, 1]).max() < 0.35 * p.max()
+
+
+@pytest.mark.skipif(not os.path.exists(GLO_CAPTURE),
+                    reason="capture unavailable")
+def test_glonass_recorded_tracking_pull_in():
+    """NT1065 GLONASS capture: ~4 epochs at the reference tracking test's
+    acquisition handoff (delay 1343, doppler -2750,
+    glonass_l1_ca_dll_pll_tracking_test.cc:138-165); prompt stays dominant
+    and stable, the DLL discriminator reads near-zero code error, and the
+    loop closures keep Doppler near the handoff."""
+    from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+
+    fs = 6.625e6
+    x = read_capture(GLO_CAPTURE)
+    code = glonass_ca_code().astype(np.float32)
+    cfg = TrackConfig(fs_hz=fs, code_length_chips=511,
+                      chip_rate_chips_s=0.511e6, carrier_freq_hz=1602e6,
+                      n_channels=1)
+    eng = TrackingEngine(cfg, code[None, :])
+    st = eng.init_state()
+    st = eng.activate_channel(st, 0, 0, 1343.0, -2750.0, 0, 0)
+    st, out = eng.track_block(x, st, len(x) - cfg.epoch_samples_max)
+    v = np.asarray(out.valid)[:, 0]
+    assert v.sum() >= 3
+    corr = np.asarray(out.correlators)[v, 0]
+    c = corr[..., 0] + 1j * corr[..., 1]
+    p, e, l = np.abs(c[:, 1]), np.abs(c[:, 0]), np.abs(c[:, 2])
+    assert (p > e).all() and (p > l).all()
+    assert p.min() > 0.6 * p.max()              # coherent across epochs
+    dll = 0.5 * (e - l) / (e + l)
+    assert np.abs(dll).max() < 0.2
+    dop = np.asarray(out.carrier_doppler_hz)[v, 0]
+    assert np.abs(dop - (-2750.0)).max() < 400.0
+
+
+@pytest.mark.skipif(not os.path.exists(GAL_CAPTURE),
+                    reason="capture unavailable")
+def test_galileo_recorded_tracking_pull_in():
+    """Galileo E1 8 ms capture at the recorded handoff (PRN 1, delay 2920,
+    doppler -632): the sinBOC correlation on real CBOC RF concentrates in
+    the inner VEML taps (the narrow BOC main lobe spans < 0.5 chip, so a
+    sub-sample seed offset moves the peak between E/P/L but never out to
+    VE/VL), and a wrong PRN shows no such structure."""
+    from gnss_sdr_1_tpu.codes import tracking_replica
+    from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+
+    fs = 4e6
+    x = read_capture(GAL_CAPTURE)
+
+    def run(prn):
+        rep, vrate, spc = tracking_replica("1B", prn)
+        cfg = TrackConfig(fs_hz=fs, code_length_chips=4092,
+                          chip_rate_chips_s=1.023e6,
+                          carrier_freq_hz=1575.42e6, n_channels=1,
+                          code_samples_per_chip=spc, veml=True,
+                          early_late_space_chips=0.15)
+        eng = TrackingEngine(cfg, np.asarray(rep, np.float32)[None, :])
+        st = eng.init_state()
+        st = eng.activate_channel(st, 0, 0, 2920.0, -632.0, 0, 0)
+        st, out = eng.track_block(x, st, len(x) - cfg.epoch_samples_max)
+        v = np.asarray(out.valid)[:, 0]
+        assert v.sum() >= 1
+        corr = np.asarray(out.correlators)[v, 0]
+        return np.abs(corr[..., 0] + 1j * corr[..., 1])  # [E, 5]
+
+    mag = run(1)
+    peak_tap = int(np.argmax(mag[0]))
+    assert peak_tap in (1, 2, 3), f"taps {mag[0]}"     # inner E/P/L
+    wrong = run(19)
+    assert mag[0].max() > 4.0 * wrong[0].max(), (mag[0], wrong[0])

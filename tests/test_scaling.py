@@ -1,0 +1,96 @@
+"""Weak-scaling evidence on the 8-device virtual mesh (SURVEY.md §2.14,
+BASELINE.md >= 80% scaling-efficiency target) plus host-channel mesh
+structure tests.
+
+On the virtual CPU mesh these numbers validate that the channel-sharded
+tracking program scales without hidden cross-device serialization or
+collectives in the hot loop — the structure the >= 80% target depends on —
+not real ICI bandwidth (tools/scaling_sweep.py runs the same sweep on
+hardware)."""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from gnss_sdr_1_tpu.codes import gps_l1ca_code
+from gnss_sdr_1_tpu.constants import GPS_L1_CA
+from gnss_sdr_1_tpu.parallel import (channel_mesh, replicate,
+                                     shard_channel_tree)
+from gnss_sdr_1_tpu.parallel.sharding import (host_channel_mesh,
+                                              shard_host_channel_tree)
+from gnss_sdr_1_tpu.siggen.generator import SatParams, generate_baseband
+from gnss_sdr_1_tpu.track import TrackConfig, TrackingEngine
+from gnss_sdr_1_tpu.utils.planar import to_planar
+
+FS = 4.092e6
+
+
+def _run(nd: int, chans_per_dev: int, x, span: int) -> float:
+    C = chans_per_dev * nd
+    cfg = TrackConfig(fs_hz=FS, code_length_chips=1023,
+                      chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                      n_channels=C, correlator="fft")
+    codes = np.stack([gps_l1ca_code(1 + (i % 32)) for i in range(C)])
+    eng = TrackingEngine(cfg, codes)
+    st = eng.init_state()
+    for ch in range(C):
+        st = eng.activate_channel(st, ch, ch, 100.0 + 7 * ch,
+                                  1000.0 - 50.0 * ch, 0, 0)
+    mesh = channel_mesh(nd)
+    st = shard_channel_tree(st, mesh)
+    samples = replicate(to_planar(x[: span + cfg.epoch_samples_max]), mesh)
+    _, outs = eng.track_capture(samples, st, span)     # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        _, outs = eng.track_capture(samples, st, span)
+        best = min(best, time.time() - t0)
+    assert np.asarray(outs.valid).sum() > 0
+    return C * span / best          # channel-samples/s
+
+
+@pytest.mark.slow
+def test_weak_scaling_efficiency_virtual_mesh():
+    """Fixed per-device load, 1 -> 8 virtual devices: per-device throughput
+    must hold >= 0.8 of the single-device rate (no serialization across the
+    channel shards)."""
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(1)
+    prns = list(range(1, 33))
+    x = generate_baseband(
+        GPS_L1_CA,
+        [SatParams(prn=p, doppler_hz=float(rng.uniform(-4e3, 4e3)),
+                   delay_chips=float(rng.uniform(0, 1023)), cn0_dbhz=45.0)
+         for p in prns],
+        {p: gps_l1ca_code(p) for p in prns}, FS, 0.3, noise=True)
+    span = int(0.25 * FS)
+    rates = {nd: _run(nd, 2, x, span) for nd in (1, 2, 4, 8)}
+    base_per_dev = rates[1]
+    effs = {nd: rates[nd] / nd / base_per_dev for nd in (2, 4, 8)}
+    # CPU-mesh timing is noisy; the structural bar is that per-device
+    # throughput does not collapse as shards are added
+    assert min(effs.values()) >= 0.8, f"weak-scaling efficiencies {effs}"
+
+
+def test_host_channel_mesh_structure():
+    """('host','channel') mesh covers all devices; channel-major trees
+    shard over the flattened axes and non-divisible leaves replicate."""
+    mesh = host_channel_mesh()
+    assert set(mesh.axis_names) == {"host", "channel"}
+    n_total = mesh.shape["host"] * mesh.shape["channel"]
+    assert n_total == len(jax.devices())
+
+    tree = {"per_channel": np.arange(n_total * 3, dtype=np.float32
+                                     ).reshape(n_total, 3),
+            "scalar_like": np.arange(5, dtype=np.float32)}
+    sharded = shard_host_channel_tree(tree, mesh)
+    shard_devs = {s.device for s in sharded["per_channel"].addressable_shards}
+    assert len(shard_devs) == n_total          # distributed over every device
+    np.testing.assert_array_equal(
+        np.asarray(sharded["per_channel"]), tree["per_channel"])
+    # non-divisible leading axis -> replicated
+    assert sharded["scalar_like"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(
+        np.asarray(sharded["scalar_like"]), tree["scalar_like"])

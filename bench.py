@@ -92,7 +92,46 @@ def run_bench() -> dict:
     samples_dev.block_until_ready()
 
     mode = os.environ.get("GNSS_BENCH_MODE", "capture")
-    if mode == "block":
+    if mode == "stream":
+        # streaming pipeline: RAW int16 host->device per segment (1/4 the
+        # planar-f32 link width), device-side unpack, double-buffered
+        # dispatch (harvest of segment k overlaps compute of k+1) — the
+        # Receiver.process_stream device path without the host FSM
+        iq = np.empty(2 * len(x), dtype=np.int16)
+        iq[0::2] = np.clip(np.round(x.real * 1000), -32767, 32767)
+        iq[1::2] = np.clip(np.round(x.imag * 1000), -32767, 32767)
+        seg_s = float(os.environ.get("GNSS_BENCH_SEGMENT_S", "1.0"))
+        span_seg = int(seg_s * FS) // 1000 * 1000
+        n_ep = span_seg // (eng._t0_int - 2) + 2
+
+        unpack = jax.jit(lambda r: r.reshape(-1, 2).astype(jnp.float32))
+
+        def run_stream(state):
+            pending = []
+            nv = 0
+            pos = 0
+            while (pos + span_seg + nmax) * 2 <= len(iq):
+                raw = iq[2 * pos : 2 * (pos + span_seg + nmax)]
+                seg_dev = unpack(jnp.asarray(raw))
+                state, packed = eng._capture_fn(
+                    seg_dev, state, jnp.int32(span_seg), jnp.int32(n_ep),
+                    n_epochs_cap=n_ep)
+                state = eng.rebase(state, span_seg)
+                pending.append(packed)
+                if len(pending) > 1:
+                    outs = eng._unpack_outputs(pending.pop(0))
+                    nv += int(outs.valid.sum())
+                pos += span_seg
+            for p in pending:
+                nv += int(eng._unpack_outputs(p).valid.sum())
+            return nv, pos
+
+        run_stream(st)                     # warmup/compile
+        t0 = time.time()
+        n_valid, consumed = run_stream(st)
+        wall = time.time() - t0
+        signal_s = consumed / FS
+    elif mode == "block":
         # device-resident per-block path: jitted slicer + the 42-epoch block
         # program; outputs read back per block (the streaming pipeline shape)
         base = int(FS * 0.040)

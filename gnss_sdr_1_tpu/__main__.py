@@ -41,6 +41,10 @@ def main(argv=None) -> int:
                     help="stream Gnss_Synchro records to this UDP port")
     ap.add_argument("--pvt_monitor_port", type=int, default=None,
                     help="stream PVT solutions to this UDP port")
+    ap.add_argument("--base_obs", default=None,
+                    help="RTCM file with base-station MT1005 + MSM epochs: "
+                         "engages the DGNSS/RTK baseline processor per "
+                         "PVT.positioning_mode (rtklib relpos analogue)")
     ap.add_argument("--assist", default=None,
                     help="A-GNSS assistance JSON (runtime.assistance store)")
     ap.add_argument("--supl", default=None, metavar="HOST[:PORT]",
@@ -221,6 +225,47 @@ def main(argv=None) -> int:
     print(f"Processed in {dt:.1f} s (RTF {dur / dt:.2f}x); "
           f"{len(sols)} PVT fixes")
 
+    if args.base_obs and rx.obs_epochs:
+        from .pvt.rtcm import read_base_observables
+        from .pvt.rtk import solve_baseline
+        from .pvt.rtk_ekf import solve_baseline_ekf
+
+        mode = rcfg.positioning_mode
+        if mode.upper() in ("SINGLE",):
+            mode = "Kinematic"
+        lam = 299792458.0 / rcfg.spec.carrier_freq_hz
+        with open(args.base_obs, "rb") as f:
+            base_ecef, base_epochs = read_base_observables(
+                f.read(), signal=rcfg.signal_id)
+        ephs_rtk = {p: d.ephemeris for p, d in rx.decoders.items()
+                    if d.ephemeris_complete}
+        if base_ecef is None or not base_epochs:
+            print("base_obs: no MT1005/MSM data decoded")
+        elif mode.upper().startswith("KIN"):
+            ek = solve_baseline_ekf(rx.obs_epochs, base_epochs, base_ecef,
+                                    ephs_rtk, lam, mode="Kinematic")
+            n_fix = sum(s.fixed for s in ek)
+            if ek:
+                last = ek[-1]
+                pos = (last.rover_fixed_ecef_m if last.fixed
+                       else last.rover_float_ecef_m)
+                print(f"RTK EKF: {len(ek)} epochs, {n_fix} fixed "
+                      f"(last ratio {last.ratio:.1f}); rover ECEF "
+                      f"[{pos[0]:.3f} {pos[1]:.3f} {pos[2]:.3f}]")
+            else:
+                print("RTK EKF: no matched base/rover epochs")
+        else:
+            sol = solve_baseline(rx.obs_epochs, base_epochs, base_ecef,
+                                 ephs_rtk, lam, mode=mode)
+            if sol.valid:
+                tag = "fixed" if sol.fixed else "float"
+                print(f"RTK {mode}: {tag} baseline, ratio {sol.ratio:.1f}, "
+                      f"rover ECEF [{sol.rover_ecef_m[0]:.3f} "
+                      f"{sol.rover_ecef_m[1]:.3f} "
+                      f"{sol.rover_ecef_m[2]:.3f}]")
+            else:
+                print(f"RTK {mode}: no baseline solution")
+
     if rcfg.positioning_mode.upper().startswith("PPP") and rx.obs_epochs:
         ppp = rx.solve_ppp_batch()
         if ppp.valid:
@@ -330,11 +375,24 @@ def main(argv=None) -> int:
         frames += [f for f in (rtcm_mod.encode_ephemeris(e)
                                for e in ephs.values()) if f]
         t_first = rx.obs_epochs[0][0] if rx.obs_epochs else 0.0
+        # RTCM phase range is +range-like; the receiver's integrated-NCO
+        # phase is -range/lambda plus an arbitrary per-channel start
+        # offset.  Anchor each satellite's phase range to its first
+        # pseudorange at an INTEGER cycle count (real receivers do the
+        # same at lock), so MSM fine-phase fits and DD ambiguities stay
+        # integers for RTK consumers of this stream.
+        phase_anchor: dict[int, float] = {}
         for tow, obs in rx.obs_epochs:
+            for p, o in obs.items():
+                if p not in phase_anchor:
+                    phase_anchor[p] = lam * round(
+                        (o.pseudorange_m + o.carrier_phase_cycles * lam)
+                        / lam)
             msm_obs = [rtcm_mod.MsmObs(
                 sat=p, signal=rcfg.signal_id,
                 pseudorange_m=o.pseudorange_m,
-                phase_range_m=o.carrier_phase_cycles * lam,
+                phase_range_m=(phase_anchor[p]
+                               - o.carrier_phase_cycles * lam),
                 phase_rate_ms=-o.doppler_hz * lam,
                 lock_time_s=tow - t_first, cn0_dbhz=o.cn0_dbhz,
                 wavelength_m=lam)

@@ -732,6 +732,51 @@ def decode_msm(payload: bytes) -> dict:
     return out
 
 
+@dataclasses.dataclass
+class BaseObs:
+    pseudorange_m: float
+    carrier_phase_cycles: float
+
+
+def read_base_observables(stream: bytes, signal: str = "1C"):
+    """Decode a concatenated RTCM stream (the CLI's observables.rtcm, or
+    any MSM4/7 + MT1005 feed) into base-station data for the RTK/DGNSS
+    baseline processors:
+
+        (base_ecef | None, [(tow_s, {prn: BaseObs})]) with BaseObs
+    carrying pseudorange_m / carrier_phase_cycles (the epoch-list shape
+    pvt.rtk.solve_baseline / pvt.rtk_ekf take as base_epochs)
+
+    Carrier phase is returned in the receiver's integrated-NCO convention
+    (-range/lambda; the constant offset is absorbed into the DD
+    ambiguities) so the epochs plug straight into pvt.rtk.solve_baseline /
+    pvt.rtk_ekf as base_epochs."""
+    from ..constants import SIGNALS, SPEED_OF_LIGHT_M_S
+
+    lam = SPEED_OF_LIGHT_M_S / SIGNALS[signal].carrier_freq_hz
+    want_sig = signal
+    base_ecef = None
+    epochs = []
+    for msgnum, payload in iter_frames(stream):
+        if msgnum in (1005, 1006):
+            d = decode_mt1005(payload)
+            import numpy as np
+            base_ecef = np.asarray(d["ecef_m"], dtype=float)
+        elif 1071 <= msgnum <= 1127 and msgnum % 10 in (4, 7):
+            d = decode_msm(payload)
+            tow = d["epoch_ms"] * 1e-3
+            obs = {}
+            for o in d["observations"]:
+                if o["signal"] != want_sig or o["pseudorange_m"] is None:
+                    continue
+                ph = (-o["phase_range_m"] / lam
+                      if o["phase_range_m"] is not None else 0.0)
+                obs[o["sat"]] = BaseObs(o["pseudorange_m"], ph)
+            if obs:
+                epochs.append((tow, obs))
+    return base_ecef, epochs
+
+
 # --------------------------------------------------------------------------
 # TCP broadcast server (rtcm_printer.cc Rtcm::RunServer analogue)
 # --------------------------------------------------------------------------

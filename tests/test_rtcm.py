@@ -259,3 +259,43 @@ def test_glonass_msm_epoch_fields():
     _, payload = next(rtcm.iter_frames(frame))
     d = rtcm.decode_msm(payload)
     assert d["glonass_dow"] == dow and d["glonass_tod_ms"] == tod
+
+
+def test_rtcm_base_observables_close_the_dgnss_loop():
+    """The repo's own MSM7 stream round-trips into base_epochs that drive
+    the DGNSS/RTK baseline solver (VERDICT: DGNSS-from-RTCM): encode a
+    synthetic base station's observables as MT1005+MSM7 frames, decode
+    with read_base_observables, solve a baseline against rover epochs."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_rtk import L1_WAVELENGTH, _synthetic_baseline
+
+    from gnss_sdr_1_tpu.pvt import rtcm as R
+    from gnss_sdr_1_tpu.pvt.rtk import solve_baseline
+
+    base, rover, ephs, base_epochs, rover_epochs = _synthetic_baseline(
+        "DGNSS", [30.0, -12.0, 5.0], n_epochs=12)
+    frames = [R.encode_mt1005(7, base, gps=True)]
+    for tow, obs in base_epochs:
+        msm = [R.MsmObs(sat=p, signal="1C",
+                        pseudorange_m=o.pseudorange_m,
+                        phase_range_m=-o.carrier_phase_cycles
+                        * L1_WAVELENGTH,
+                        phase_rate_ms=0.0, lock_time_s=100.0,
+                        cn0_dbhz=45.0, wavelength_m=L1_WAVELENGTH)
+               for p, o in obs.items()]
+        frames.append(R.encode_msm("GPS", 7, 7, int(tow * 1e3) % 604800000,
+                                   msm))
+    stream = b"".join(frames)
+
+    got_ecef, got_epochs = R.read_base_observables(stream, signal="1C")
+    assert got_ecef is not None
+    np.testing.assert_allclose(got_ecef, base, atol=1e-3)
+    assert len(got_epochs) == len(base_epochs)
+    # decoded epochs ARE the base input of the baseline solver
+    sol = solve_baseline(rover_epochs, got_epochs, got_ecef, ephs,
+                         L1_WAVELENGTH, mode="DGNSS")
+    assert sol.valid
+    err = np.linalg.norm(sol.rover_ecef_m - rover)
+    assert err < 1.0, err

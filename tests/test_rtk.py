@@ -123,3 +123,86 @@ def test_base_interpolation():
     got = interpolate_base(be, 11.0)
     assert got[1] == (102.0, 51.0)
     assert interpolate_base(be, 9.0) is None
+
+
+# ---------------- sequential EKF (rtklib relpos analogue, round 4) -------
+
+def test_rtk_ekf_static_converges_and_fixes():
+    """Time-recursive filter (pvt.rtk_ekf): float solution converges over
+    epochs and MLAMBDA fixes to centimeters (rtklib_rtkpos.cc:2199
+    relpos + resamb_LAMBDA)."""
+    from gnss_sdr_1_tpu.pvt.rtk_ekf import solve_baseline_ekf
+
+    base, rover, ephs, be, re = _synthetic_baseline(
+        "Static", [55.0, 20.0, -8.0], n_epochs=30)
+    sols = solve_baseline_ekf(re, be, base, ephs, L1_WAVELENGTH,
+                              mode="Static")
+    assert len(sols) >= 25
+    # float converges below half a meter by the back half of the run
+    tail = sols[len(sols) // 2:]
+    ferr = [np.linalg.norm(s.rover_float_ecef_m - rover) for s in tail]
+    assert np.median(ferr) < 0.5, np.median(ferr)
+    fixed = [s for s in tail if s.fixed]
+    assert len(fixed) >= len(tail) // 2, "ratio test rarely passed"
+    fx = [np.linalg.norm(s.rover_fixed_ecef_m - rover) for s in fixed]
+    assert np.median(fx) < 0.05, f"fixed median {np.median(fx):.3f} m"
+
+
+def test_rtk_ekf_kinematic_tracks_moving_rover():
+    """Kinematic mode: the filter follows a rover moving at ~1 m/s
+    (velocity states + accel process noise, rtklib udpos)."""
+    from gnss_sdr_1_tpu.pvt.rtk_ekf import RtkEkf
+    from gnss_sdr_1_tpu.pvt.rtk import interpolate_base
+
+    rng = np.random.default_rng(11)
+    base = llh_to_ecef(np.radians(41.275), np.radians(1.988), 80.0)
+    prns = list(range(1, 9))
+    t0 = 345601.0
+    raans, anoms = _auto_place(base, prns, np.floor(t0 / 7200.0) * 7200.0,
+                               t0)
+    ephs = {p: make_test_ephemeris(p, np.floor(t0 / 7200.0) * 7200.0,
+                                   plane_raan_deg=raans[i],
+                                   anomaly_deg=anoms[i])
+            for i, p in enumerate(prns)}
+    amb = {p: float(rng.integers(-30, 30)) for p in prns}
+    vel = np.array([0.8, -0.5, 0.3])
+
+    class Obs:
+        def __init__(self, pr, ph):
+            self.pseudorange_m = pr
+            self.carrier_phase_cycles = ph
+
+    def epochs_for(pos0, v, ambs, bias_scale):
+        out = []
+        for k in range(40):
+            tow = t0 + k * 1.0
+            rx = pos0 + v * (k * 1.0)
+            clk = rng.uniform(-1e-3, 1e-3) * bias_scale
+            obs = {}
+            for p in prns:
+                tau = observed_delay_s(ephs[p], rx, tow)
+                pr = (tau + clk) * SPEED_OF_LIGHT_M_S + rng.normal(0, 0.4)
+                ph = (-(tau + clk) * SPEED_OF_LIGHT_M_S / L1_WAVELENGTH
+                      + ambs[p] + rng.normal(0, 0.004 / L1_WAVELENGTH))
+                obs[p] = Obs(pr, ph)
+            out.append((tow, obs))
+        return out
+
+    be = epochs_for(base, np.zeros(3), {p: 0.0 for p in prns}, 1.0)
+    re = epochs_for(base + [40.0, 10.0, 0.0], vel, amb, 1.3)
+    ekf = RtkEkf(base, ephs, L1_WAVELENGTH, mode="Kinematic")
+    for tow, robs in re:
+        bobs = interpolate_base(be, tow)
+        if bobs is not None:
+            ekf.process_epoch(tow, robs, bobs)
+    sols = ekf.solutions
+    assert len(sols) >= 30
+    tail = sols[15:]
+    errs = []
+    for s in tail:
+        k = s.tow - t0
+        truth = base + np.asarray([40.0, 10.0, 0.0]) + vel * k
+        pos = s.rover_fixed_ecef_m if s.fixed else s.rover_float_ecef_m
+        errs.append(np.linalg.norm(pos - truth))
+    assert np.median(errs) < 0.3, f"median kinematic error {np.median(errs)}"
+    assert sum(s.fixed for s in tail) >= len(tail) // 2

@@ -97,9 +97,14 @@ def run_bench() -> dict:
         # planar-f32 link width), device-side unpack, double-buffered
         # dispatch (harvest of segment k overlaps compute of k+1) — the
         # Receiver.process_stream device path without the host FSM
-        iq = np.empty(2 * len(x), dtype=np.int16)
-        iq[0::2] = np.clip(np.round(x.real * 1000), -32767, 32767)
-        iq[1::2] = np.clip(np.round(x.imag * 1000), -32767, 32767)
+        if os.environ.get("GNSS_BENCH_STREAM_DTYPE", "int16") == "int8":
+            iq = np.empty(2 * len(x), dtype=np.int8)
+            iq[0::2] = np.clip(np.round(x.real * 24), -127, 127)
+            iq[1::2] = np.clip(np.round(x.imag * 24), -127, 127)
+        else:
+            iq = np.empty(2 * len(x), dtype=np.int16)
+            iq[0::2] = np.clip(np.round(x.real * 1000), -32767, 32767)
+            iq[1::2] = np.clip(np.round(x.imag * 1000), -32767, 32767)
         seg_s = float(os.environ.get("GNSS_BENCH_SEGMENT_S", "1.0"))
         span_seg = int(seg_s * FS) // 1000 * 1000
         n_ep = span_seg // (eng._t0_int - 2) + 2

@@ -124,11 +124,16 @@ class MultiReceiver:
                     ephs[key] = rx_i.decoders[p].ephemeris
                     prs[key] = o.pseudorange_m
                     dops[key] = o.doppler_hz
-                    systems[key] = sysid
+                    # clock/ISB column PER GROUP: each group's observables
+                    # carry an independent RX-clock anchor (its own obs
+                    # start offset), so even same-system bands (L1+L2C)
+                    # need separate bias unknowns — the reference's
+                    # per-signal code-bias handling in rtklib prange()
+                    systems[key] = f"{sysid}{gi}"
                     per_sys.setdefault(sysid, []).append(p)
             # >= 4 DISTINCT satellites: two bands of one SV share a line of
             # sight, so they add precision but not geometric rank
-            n_distinct = len({(systems[k], k % 1000) for k in prs})
+            n_distinct = len({(systems[k][:1], k % 1000) for k in prs})
             if len(prs) >= 4 and n_distinct >= 4 and rx_tow is not None:
                 tow_k = rx_tow + (t - rx_t_anchor)
                 sol = solve_pvt(ephs, prs, tow_k, dopplers_hz=dops,

@@ -177,8 +177,8 @@ def build_scenario(
     t0_tow: float,
     duration_s: float,
     cn0_dbhz: float = 44.0,
-    chip_rate: float = 1.023e6,
-    carrier_freq: float = 1575.42e6,
+    chip_rate: float | None = None,
+    carrier_freq: float | None = None,
     raans: list[float] | None = None,
     anomalies: list[float] | None = None,
     subframe_cycle: tuple[int, ...] = (1, 2, 3, 4, 5),
@@ -190,6 +190,24 @@ def build_scenario(
     rx_ecef.  Orbit planes/anomalies default to a spread that puts the
     satellites above the horizon for a receiver near the prime meridian
     mid-latitudes; pass explicit raans/anomalies otherwise."""
+    if chip_rate is None:
+        # the delay<->chips conversion must use the rate the GENERATOR
+        # indexes the code table with (the per-signal code rate; callers
+        # tracking at a virtual rate, e.g. E1 sinBOC 2.046e6, pass it
+        # explicitly) — a mismatched default silently doubles/halves the
+        # per-satellite delays and wrecks the pseudorange geometry
+        from ..constants import SIGNALS
+
+        chip_rate = float(SIGNALS.get(signal, SIGNALS["1C"])
+                          .code_rate_chips_s) if signal != "1C" else 1.023e6
+    if carrier_freq is None:
+        # Doppler scales with the signal's own carrier; the generator's
+        # code-Doppler coupling divides by the SPEC carrier, so a
+        # mismatched default (e.g. L1 Doppler on an L2 signal) makes the
+        # code phase drift ~28% off the delay geometry
+        from ..constants import SIGNALS as _SIGS
+
+        carrier_freq = float(_SIGS.get(signal, _SIGS["1C"]).carrier_freq_hz)
     toe = np.floor(t0_tow / 7200.0) * 7200.0   # ephemeris reference nearby
     # bit stream starts at the last subframe/page/frame boundary before the
     # earliest possible transmit time (t0 - 0.1 s)

@@ -64,12 +64,13 @@ def run_bench() -> dict:
     cfg = TrackConfig(
         fs_hz=FS, code_length_chips=1023, chip_rate_chips_s=1.023e6,
         carrier_freq_hz=1575.42e6, n_channels=N_CH,
-        # MXU direct-correlation: the TPU fast path (batched matmul against
-        # shifted replicas beats the VPU-bound FFT pair by ~40%, and
-        # per-sample gathers serialize on the terminal backend)
+        # fused Pallas chain: the TPU fast path (round-4 clean numbers:
+        # pallas 55.3 vs mxu 47.3; on-hardware value A/B in
+        # tools/ab_pallas_tpu.py); per-sample gathers serialize on the
+        # terminal backend, so CPU keeps the exact gather path
         correlator=os.environ.get(
             "GNSS_BENCH_CORRELATOR",
-            "mxu" if dev == "tpu" else "gather"),
+            "pallas" if dev == "tpu" else "gather"),
         chunk_epochs=int(os.environ.get("GNSS_BENCH_CHUNK", "16")),
     )
     eng = TrackingEngine(cfg, np.stack([codes[p] for p in prns]))

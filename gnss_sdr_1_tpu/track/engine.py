@@ -836,32 +836,24 @@ class TrackingEngine:
             [state.start[:, None], s_pred[:, 1:]], axis=1)
         len_pred = s_pred[:, 1:] - s_pred[:, :-1]              # [C, E]
 
-        # --- window -> per-channel segment -> static epoch windows ---
+        # --- per-channel segment -> static epoch windows ---
+        # each channel slices its OWN segment directly from the capture:
+        # no shared window base means no cross-channel min — the sharded
+        # 8-device program compiles with ZERO collectives in the hot loop
+        # (a scalar all-reduce per chunk would serialize channel shards)
         seg_len = (E - 1) * t0i + NW
-        spread = t0i + 66 + self._grid_pad      # channel start spread
-        need = spread + seg_len
-        # zero-pad the tail so the chunk window fits for EVERY valid epoch
-        # (valid => start < limit <= n_samp - epoch_samples_max): the padded
-        # region is either masked (beyond a valid epoch's content) or
-        # belongs to invalid epochs whose state never merges.  Without it,
-        # m clamps at n_samp - need and later epochs' lag positions fall
-        # outside the lag window (taps read zeros -> loops freewheel).
-        pad_tail = max(0, need - cfg.epoch_samples_max, need - n_samp)
-        if pad_tail:
-            samples_p = jnp.pad(samples_p, ((0, pad_tail), (0, 0)))
-            n_samp += pad_tail
-        m = jnp.min(jnp.where(state.active, state.start, jnp.int32(1 << 29)))
-        m = jnp.clip(m - self._grid_pad, 0, n_samp - need)
-        window = jax.lax.dynamic_slice(samples_p, (m, 0), (need, 2))
-        off = jnp.clip(state.start - self._grid_pad - m, 0, spread)  # [C]
+        # callers pre-pad via _pad_for_chunks (ONCE per program — padding
+        # here would copy the whole capture every chunk iteration)
+        off = jnp.clip(state.start - self._grid_pad, 0,
+                       n_samp - seg_len)                       # [C]
         seg_p = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(window, (s, 0), (seg_len, 2))
+            lambda s: jax.lax.dynamic_slice(samples_p, (s, 0), (seg_len, 2))
         )(off)                                                 # [C, seg_len, 2]
         seg = unpack_complex(seg_p)
         segs = jnp.stack(
             [jax.lax.slice_in_dim(seg, kk * t0i, kk * t0i + NW, axis=1)
              for kk in range(E)], axis=1)                      # [C, E, NW]
-        s_reg = (m + off)[:, None] + (
+        s_reg = off[:, None] + (
             jnp.arange(E, dtype=jnp.int32) * jnp.int32(t0i))[None, :]
 
         # --- frozen-NCO carrier wipe-off across the chunk ---
@@ -880,6 +872,26 @@ class TrackingEngine:
         mask = (nn >= dp) & (nn < dp + len_pred[..., None].astype(f32))
         wiped = jnp.where(mask, wiped, 0.0 + 0.0j)
         return wiped, s_reg, s_pred, len_pred, step0
+
+    def _pad_for_chunks(self, samples_p):
+        """Zero-pad the capture tail ONCE so every chunk's per-channel
+        segment slice fits for EVERY valid epoch (valid => start < limit
+        <= n_samp - epoch_samples_max): the padded region is either masked
+        (beyond a valid epoch's content) or belongs to invalid epochs
+        whose state never merges.  Without it, offsets clamp near the
+        capture end and later epochs' lag positions fall outside the lag
+        window (taps read zeros)."""
+        if self.cfg.correlator not in ("fft", "mxu", "pallas"):
+            return samples_p
+        E = self._chunk_epochs
+        seg_len = (E - 1) * self._t0_int + self._corr_win
+        n_samp = samples_p.shape[0]
+        pad_tail = max(0,
+                       seg_len + self._grid_pad - self.cfg.epoch_samples_max,
+                       seg_len - n_samp)
+        if pad_tail:
+            samples_p = jnp.pad(samples_p, ((0, pad_tail), (0, 0)))
+        return samples_p
 
     def _chunk_step(self, samples_p, state: TrackState, limit):
         """Process `chunk_epochs` epochs with ONE batched correlation.
@@ -1103,6 +1115,7 @@ class TrackingEngine:
     # ---------------- jitted programs ----------------
 
     def _track_block_impl(self, samples, state: TrackState, *, base: int, n_epochs: int):
+        samples = self._pad_for_chunks(samples)
         if self.cfg.correlator in ("fft", "mxu", "pallas"):
             E = self._chunk_epochs
             n_chunks = (n_epochs + E - 1) // E
@@ -1218,6 +1231,7 @@ class TrackingEngine:
         preallocated [n_epochs_cap, ...] buffers and returned as ONE packed
         [R, cap, C] i32 buffer (_pack_outputs).
         """
+        samples = self._pad_for_chunks(samples)
         C = self.cfg.n_channels
         K = self.cfg.n_taps
         f32 = jnp.float32
@@ -1351,6 +1365,14 @@ class TrackingEngine:
             st, packed = self._capture_fn(
                 samples_device, st, jnp.int32(lim), jnp.int32(cap),
                 n_epochs_cap=cap)
+            try:
+                # start the d2h of this segment as soon as its compute
+                # finishes, overlapping the next segments' device work
+                # (np.asarray alone pulls on demand, serializing transfer
+                # after ALL compute)
+                packed.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
             pending.append(packed)
             k += 1
         outs = [self._unpack_outputs(p) for p in pending]

@@ -8,6 +8,7 @@ collectives in the hot loop — the structure the >= 80% target depends on —
 not real ICI bandwidth (tools/scaling_sweep.py runs the same sweep on
 hardware)."""
 
+import os
 import time
 
 import jax
@@ -51,12 +52,59 @@ def _run(nd: int, chans_per_dev: int, x, span: int) -> float:
     return C * span / best          # channel-samples/s
 
 
+def test_channel_shards_compile_without_collectives():
+    """The >= 80% weak-scaling target rests on the channel axis being
+    embarrassingly parallel: the compiled 8-device tracking program must
+    contain NO cross-device collectives or serialization in its hot loop
+    (collectives would ride ICI every chunk and cap scaling).  This is the
+    deterministic form of the scaling claim a 2-core CI host can check;
+    tools/scaling_sweep.py measures the wall-clock sweep on real meshes."""
+    import jax.numpy as jnp
+
+    from gnss_sdr_1_tpu.utils.planar import to_planar
+
+    nd = 8
+    assert len(jax.devices()) >= nd
+    C = 2 * nd
+    # mxu = the sharded TPU product path (XLA's partitioner keeps the
+    # batched einsum shard-local; the legacy fft correlator's batched FFTs
+    # get all-gathered instead)
+    cfg = TrackConfig(fs_hz=FS, code_length_chips=1023,
+                      chip_rate_chips_s=1.023e6, carrier_freq_hz=1575.42e6,
+                      n_channels=C, correlator="mxu")
+    codes = np.stack([gps_l1ca_code(1 + (i % 32)) for i in range(C)])
+    eng = TrackingEngine(cfg, codes)
+    st = eng.init_state()
+    for ch in range(C):
+        st = eng.activate_channel(st, ch, ch, 100.0 + 7 * ch,
+                                  1000.0 - 50.0 * ch, 0, 0)
+    mesh = channel_mesh(nd)
+    st = shard_channel_tree(st, mesh)
+    span = int(0.05 * FS)
+    n_ep = span // (eng._t0_int - 2) + 2
+    samples = replicate(
+        to_planar(np.zeros(span + cfg.epoch_samples_max,
+                           np.complex64)), mesh)
+    compiled = eng._capture_fn.lower(
+        samples, st, jnp.int32(span), jnp.int32(n_ep),
+        n_epochs_cap=n_ep).compile()
+    txt = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op + "(" not in txt, f"{op} found in the sharded hot loop"
+    # and the program actually executes across all shards
+    st2, packed = eng._capture_fn(
+        samples, st, jnp.int32(span), jnp.int32(n_ep), n_epochs_cap=n_ep)
+    assert eng._unpack_outputs(packed).valid.sum() > 0
+
+
 @pytest.mark.slow
+@pytest.mark.skipif(os.cpu_count() < 8,
+                    reason="wall-clock weak scaling needs >= 1 core per "
+                           "virtual device")
 def test_weak_scaling_efficiency_virtual_mesh():
     """Fixed per-device load, 1 -> 8 virtual devices: per-device throughput
-    must hold >= 0.8 of the single-device rate (no serialization across the
-    channel shards)."""
-    assert len(jax.devices()) >= 8
+    must hold >= 0.8 of the single-device rate."""
     rng = np.random.default_rng(1)
     prns = list(range(1, 33))
     x = generate_baseband(
@@ -69,8 +117,6 @@ def test_weak_scaling_efficiency_virtual_mesh():
     rates = {nd: _run(nd, 2, x, span) for nd in (1, 2, 4, 8)}
     base_per_dev = rates[1]
     effs = {nd: rates[nd] / nd / base_per_dev for nd in (2, 4, 8)}
-    # CPU-mesh timing is noisy; the structural bar is that per-device
-    # throughput does not collapse as shards are added
     assert min(effs.values()) >= 0.8, f"weak-scaling efficiencies {effs}"
 
 

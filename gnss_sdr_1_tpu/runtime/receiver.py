@@ -915,15 +915,33 @@ class Receiver:
         abs_base = getattr(self, "_abs_base", 0)
         fmt = FORMATS[raw_format] if raw_format is not None else None
         ipc = fmt.items_per_sample if fmt is not None else 1
+        spi = fmt.samples_per_item if fmt is not None else 1
         if fmt is not None:
-            if fmt.samples_per_item != 1 or ipc != 2:
+            if fmt.name == "2bits_cpx":
+                # nibble-packed 2-bit I/Q, 2 samples/byte (LabSat/NSR
+                # class): 1/8 the planar-f32 link width, unpacked on
+                # device with the io.formats bit layout (MS nibble first,
+                # nibble = Q1 Q0 I1 I0)
+                @jax.jit
+                def unpack_dev(raw):
+                    b = raw.astype(jnp.int32)
+                    nibs = jnp.stack(
+                        [(b >> 4) & 0xF, b & 0xF], axis=1).reshape(-1)
+
+                    def s2(v):
+                        return jnp.where(v >= 2, v - 4, v).astype(
+                            jnp.float32)
+
+                    return jnp.stack(
+                        [s2(nibs & 0x3), s2((nibs >> 2) & 0x3)], axis=-1)
+            elif fmt.samples_per_item != 1 or ipc != 2:
                 raise ValueError(
                     "raw streaming supports interleaved I/Q integer "
-                    "formats (ishort/ibyte/cshort/cbyte)")
-
-            @jax.jit
-            def unpack_dev(raw):
-                return raw.reshape(-1, 2).astype(jnp.float32)
+                    "formats (ishort/ibyte/cshort/cbyte) and 2bits_cpx")
+            else:
+                @jax.jit
+                def unpack_dev(raw):
+                    return raw.reshape(-1, 2).astype(jnp.float32)
 
         buf_parts: list[np.ndarray] = []
         buf_len = 0                     # samples buffered
@@ -938,28 +956,34 @@ class Receiver:
             self._maybe_extend()
             self._observables_and_pvt()
 
+        def n_items(n_samples: int) -> int:
+            return (n_samples * ipc + spi - 1) // spi
+
+        if (span * ipc) % spi:
+            raise ValueError("segment span must align to whole raw items")
+        need_samps = span + nmax
         for _, chunk in blocks:
             chunk = np.asarray(chunk)
             buf_parts.append(chunk)
-            buf_len += len(chunk) // ipc
-            while buf_len >= span + nmax and not self._standby:
+            buf_len += len(chunk) * spi // ipc
+            while buf_len >= need_samps and not self._standby:
                 buf = np.concatenate(buf_parts) if len(buf_parts) > 1 \
                     else buf_parts[0]
                 # acquisition on the segment head (idle channels only)
                 if reacq_countdown <= 0:
                     need = self.acq.cfg.fft_size * max(1, cfg.acq_dwells)
                     if buf_len >= need:
-                        head = buf[: need * ipc]
-                        xc = convert_to_complex64(head, fmt) \
+                        head = buf[: n_items(need)]
+                        xc = convert_to_complex64(head, fmt)[:need] \
                             if fmt is not None else head
                         self._pos = consumed
                         self._acquire_and_assign(consumed, xc)
                     reacq_countdown = max(1, cfg.reacq_interval_blocks
                                           // max(1, span // base))
                 reacq_countdown -= 1
-                seg = buf[: (span + nmax) * ipc]
+                seg = buf[: n_items(need_samps)]
                 if fmt is not None:
-                    seg_dev = unpack_dev(jnp.asarray(seg))
+                    seg_dev = unpack_dev(jnp.asarray(seg))[: need_samps]
                 else:
                     seg_dev = jnp.asarray(to_planar(
                         np.ascontiguousarray(seg)))
@@ -968,7 +992,7 @@ class Receiver:
                     jnp.int32(n_epochs), n_epochs_cap=n_epochs)
                 self.state = self.trk.rebase(self.state, span)
                 pending.append((packed, consumed))
-                buf_parts = [buf[span * ipc:]]
+                buf_parts = [buf[span * ipc // spi:]]
                 buf_len -= span
                 consumed += span
                 self._blocks_done += span // base

@@ -80,3 +80,35 @@ def test_stream_raw_ishort_blocks(capture):
                                  prn_search=tuple(PRNS)))
     sols = rx.process_stream(blocks(), segment_s=1.0, raw_format="ishort")
     _assert_fixes(scen, sols, 20)
+
+
+def test_stream_2bit_packed_blocks(capture):
+    """Nibble-packed 2-bit I/Q blocks (LabSat/NSR class, io.formats
+    '2bits_cpx'): 1/8 the planar-f32 link width, unpacked on device; the
+    ~0.55 dB quantization loss must not break the position bar."""
+    scen, x = capture
+    sigma = np.std(x.real)
+    qi = np.clip(np.round(x.real * 0.7 / sigma), -2, 1).astype(np.int64)
+    qq = np.clip(np.round(x.imag * 0.7 / sigma), -2, 1).astype(np.int64)
+    nibs = (qi & 3) | ((qq & 3) << 2)                  # [N]
+    n2 = len(nibs) // 2 * 2
+    packed = ((nibs[0:n2:2] << 4) | nibs[1:n2:2]).astype(np.uint8)
+
+    def blocks(chunk_bytes=int(0.1 * FS) // 2):
+        pos = 0
+        while pos < len(packed):
+            yield pos, packed[pos : pos + chunk_bytes]
+            pos += chunk_bytes
+
+    rx = Receiver(ReceiverConfig(fs_hz=FS, n_channels=6,
+                                 prn_search=tuple(PRNS)))
+    sols = rx.process_stream(blocks(), segment_s=1.0,
+                             raw_format="2bits_cpx")
+    # 2-bit quantization adds ~0.55 dB CN0 loss plus code-phase noise at
+    # 2 samples/chip — hold a relaxed bar (the reference's 5 m bar is for
+    # full-precision captures; its own 2-bit sources carry the same
+    # penalty)
+    assert len(sols) >= 20, f"only {len(sols)} fixes"
+    errs = np.stack([s.rx_ecef_m - scen.rx_ecef for s in sols])
+    e3d = np.linalg.norm(errs, axis=1)
+    assert np.median(e3d) < 8.0, f"median 3D {np.median(e3d):.2f} m"

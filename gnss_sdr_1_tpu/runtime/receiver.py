@@ -328,6 +328,7 @@ class Receiver:
         self.last_frac: dict[int, float] = {}
         self.carrier_phase_acc: dict[int, float] = {}
         self.last_carr_rem: dict[int, float] = {}
+        self._ledger_prev_start: dict[int, float] = {}
         self.rx_tow_s: float | None = None
         self.rx_tow_sample: int | None = None
         self.solutions: list[PvtSolution] = []
@@ -467,6 +468,7 @@ class Receiver:
             self.last_frac[prn] = self.last_rem[prn]
             self.carrier_phase_acc.pop(prn, None)
             self.last_carr_rem.pop(prn, None)
+            self._ledger_prev_start.pop(prn, None)
             self._no_tow_syms[prn] = 0
             self._acq_info[prn] = (float(res.delay_samples[k]),
                                    float(res.doppler_hz[k]),
@@ -475,8 +477,15 @@ class Receiver:
                      ch, prn, res.delay_samples[k], res.doppler_hz[k],
                      res.test_stat[k])
 
-    def _harvest(self, outs, block_offset_abs: int) -> None:
-        """Stream tracking epochs into telemetry decoders + histories."""
+    def _harvest(self, outs, block_offset_abs: int, decim: int = 1) -> None:
+        """Stream tracking epochs into telemetry decoders + histories.
+
+        `decim` > 1: the loop-state fields (rem_carr/doppler/cn0) of `outs`
+        are exact only at epochs k % decim == decim-1 (the capture path's
+        compact packing, engine.capture_decim); prompts/starts stay
+        full-rate for telemetry, and observables history points land on
+        the decimated grid (decim * 1 ms spacing, well inside the 20 ms
+        interpolation gate of A.10)."""
         from ..utils.planar import from_planar_np
 
         valid = np.asarray(outs.valid)            # [E, C]
@@ -531,33 +540,85 @@ class Receiver:
             ep_lens = lens[v, ch].astype(np.float64)
             rems_carr = np.asarray(
                 outs.rem_carr_phase_rad, dtype=np.float64)[v, ch]
-            acc0 = self.carrier_phase_acc.get(prn, 0.0)
-            prev_carr = self.last_carr_rem.get(
-                prn, float(rems_carr[0]) if len(rems_carr) else 0.0)
-            # step applied between consecutive ledger values covers the
-            # NEXT epoch (engine A.6 note): pair dopp_k with len_{k+1}
-            lens_next = np.concatenate([ep_lens[1:], ep_lens[-1:]]) if len(
-                ep_lens) else ep_lens
-            est = (2.0 * np.pi * ep_dops.astype(np.float64)
-                   * lens_next / self.cfg.fs_hz)
-            prevs = np.concatenate([[prev_carr], rems_carr[:-1]]) if len(
-                rems_carr) else rems_carr
-            resid = rems_carr - prevs - est
-            deltas = est + (np.mod(resid + np.pi, 2.0 * np.pi) - np.pi)
-            acc_series = acc0 + np.cumsum(deltas)
-            if len(acc_series):
-                self.carrier_phase_acc[prn] = float(acc_series[-1])
-                self.last_carr_rem[prn] = float(rems_carr[-1])
             ep_cn0 = cn0s[v, ch]
-            if dec is not None:
-                dec.push(prompts.real, ep_starts)
-                hist = self.histories[prn]
-                for k in range(len(prompts)):
-                    tow = dec.tow_at_symbol(base_sym + k)
-                    if tow is not None:
-                        hist.push(float(ep_starts[k]) + float(rems_at[k]),
-                                  tow, float(ep_dops[k]),
-                                  float(acc_series[k]), float(ep_cn0[k]))
+            nv = len(prompts)
+            if decim <= 1:
+                acc0 = self.carrier_phase_acc.get(prn, 0.0)
+                prev_carr = self.last_carr_rem.get(
+                    prn, float(rems_carr[0]) if len(rems_carr) else 0.0)
+                # step applied between consecutive ledger values covers the
+                # NEXT epoch (engine A.6 note): pair dopp_k with len_{k+1}
+                lens_next = np.concatenate(
+                    [ep_lens[1:], ep_lens[-1:]]) if len(ep_lens) else ep_lens
+                est = (2.0 * np.pi * ep_dops.astype(np.float64)
+                       * lens_next / self.cfg.fs_hz)
+                prevs = np.concatenate(
+                    [[prev_carr], rems_carr[:-1]]) if len(rems_carr) \
+                    else rems_carr
+                resid = rems_carr - prevs - est
+                deltas = est + (np.mod(resid + np.pi, 2.0 * np.pi) - np.pi)
+                acc_series = acc0 + np.cumsum(deltas)
+                if len(acc_series):
+                    self.carrier_phase_acc[prn] = float(acc_series[-1])
+                    self.last_carr_rem[prn] = float(rems_carr[-1])
+                if dec is not None:
+                    dec.push(prompts.real, ep_starts)
+                    hist = self.histories[prn]
+                    for k in range(nv):
+                        tow = dec.tow_at_symbol(base_sym + k)
+                        if tow is not None:
+                            hist.push(
+                                float(ep_starts[k]) + float(rems_at[k]),
+                                tow, float(ep_dops[k]),
+                                float(acc_series[k]), float(ep_cn0[k]))
+            else:
+                # decimated grid: history/ledger points at valid epochs
+                # m = decim, 2*decim, ... whose entering state is exact at
+                # upsampled index m-1 ((m-1) % decim == decim-1); `valid`
+                # is a prefix per segment (start strictly increases), so
+                # valid-sequence indices == buffer indices
+                D = decim
+                push_m = np.arange(D, nv, D)
+                acc = self.carrier_phase_acc.get(prn, 0.0)
+                prev_carr = self.last_carr_rem.get(prn)
+                prev_s = self._ledger_prev_start.get(prn)
+                acc_series = np.zeros(len(push_m))
+                for j, m in enumerate(push_m):
+                    carr_m = float(rems_carr[m - 1])
+                    dop_m = float(ep_dops[m - 1])
+                    s_m = float(ep_starts[m])
+                    if prev_s is not None and prev_carr is not None:
+                        est = (2.0 * np.pi * dop_m * (s_m - prev_s)
+                               / self.cfg.fs_hz)
+                        resid = carr_m - prev_carr - est
+                        acc += est + (np.mod(resid + np.pi, 2.0 * np.pi)
+                                      - np.pi)
+                    prev_s, prev_carr = s_m, carr_m
+                    acc_series[j] = acc
+                self.carrier_phase_acc[prn] = acc
+                if prev_carr is not None:
+                    self.last_carr_rem[prn] = prev_carr
+                if prev_s is not None:
+                    self._ledger_prev_start[prn] = prev_s
+                if dec is not None:
+                    dec.push(prompts.real, ep_starts)
+                    hist = self.histories[prn]
+                    for j, m in enumerate(push_m):
+                        tow = dec.tow_at_symbol(base_sym + int(m))
+                        if tow is not None:
+                            hist.push(
+                                float(ep_starts[m]) + float(rems_at[m]),
+                                tow, float(ep_dops[m - 1]),
+                                float(acc_series[j]),
+                                float(ep_cn0[m - 1]))
+                # monitor display series (held between grid points)
+                if len(push_m):
+                    idx = np.minimum(np.searchsorted(
+                        push_m, np.arange(nv), side="right"),
+                        len(push_m) - 1)
+                    acc_series = acc_series[idx]
+                else:
+                    acc_series = np.zeros(nv)
             self.sym_count[prn] = base_sym + len(prompts)
             # telemetry watchdog: no decoded TOW for watchdog_symbols
             # epochs -> recycle the satellite (the reference's telemetry
@@ -832,6 +893,19 @@ class Receiver:
             trop_model=self.cfg.trop_model,
             el_mask_deg=max(self.cfg.elevation_mask_deg, 7.0)))
 
+    def _scale_for(self, samples) -> float:
+        """Unit-RMS ingest normalization (computed once, checkpointed):
+        bounds prompt magnitudes so the compact capture packing's f16
+        prompt fields never overflow on high-amplitude captures (ishort
+        +-32767); every acquisition/CN0/lock statistic is scale-invariant."""
+        scale = getattr(self, "_ingest_scale", None)
+        if scale is None:
+            head = np.asarray(samples[: min(len(samples), 1 << 18)])
+            rms = float(np.sqrt(np.mean(np.abs(head) ** 2)))
+            scale = 1.0 / rms if rms > 0 else 1.0
+            self._ingest_scale = scale
+        return scale
+
     # ---------------- main loop ----------------
 
     def process(self, samples: np.ndarray) -> list[PvtSolution]:
@@ -871,11 +945,14 @@ class Receiver:
             seg = samples[self._pos : self._pos + span + nmax]
             if self.trk_kind == "kf":
                 self.state, outs = self._kf_track_segment(seg, span)
+                self._harvest(outs, abs_base + self._pos)
             else:
-                seg_dev = jnp.asarray(to_planar(seg))
+                seg_dev = jnp.asarray(
+                    to_planar(seg) * np.float32(self._scale_for(samples)))
                 self.state, outs = self.trk.track_capture(
                     seg_dev, self.state, span)
-            self._harvest(outs, abs_base + self._pos)
+                self._harvest(outs, abs_base + self._pos,
+                              decim=self.trk.capture_decim)
             self._maybe_extend()
             self._observables_and_pvt()
             self._pos += span
@@ -923,7 +1000,7 @@ class Receiver:
                 # device with the io.formats bit layout (MS nibble first,
                 # nibble = Q1 Q0 I1 I0)
                 @jax.jit
-                def unpack_dev(raw):
+                def unpack_dev(raw, scale):
                     b = raw.astype(jnp.int32)
                     nibs = jnp.stack(
                         [(b >> 4) & 0xF, b & 0xF], axis=1).reshape(-1)
@@ -932,7 +1009,7 @@ class Receiver:
                         return jnp.where(v >= 2, v - 4, v).astype(
                             jnp.float32)
 
-                    return jnp.stack(
+                    return scale * jnp.stack(
                         [s2(nibs & 0x3), s2((nibs >> 2) & 0x3)], axis=-1)
             elif fmt.samples_per_item != 1 or ipc != 2:
                 raise ValueError(
@@ -940,8 +1017,8 @@ class Receiver:
                     "formats (ishort/ibyte/cshort/cbyte) and 2bits_cpx")
             else:
                 @jax.jit
-                def unpack_dev(raw):
-                    return raw.reshape(-1, 2).astype(jnp.float32)
+                def unpack_dev(raw, scale):
+                    return scale * raw.reshape(-1, 2).astype(jnp.float32)
 
         buf_parts: list[np.ndarray] = []
         buf_len = 0                     # samples buffered
@@ -952,7 +1029,8 @@ class Receiver:
         def harvest_oldest():
             packed, seg_start = pending.pop(0)
             outs = self.trk._unpack_outputs(packed)
-            self._harvest(outs, abs_base + seg_start)
+            self._harvest(outs, abs_base + seg_start,
+                          decim=self.trk.capture_decim)
             self._maybe_extend()
             self._observables_and_pvt()
 
@@ -983,10 +1061,16 @@ class Receiver:
                 reacq_countdown -= 1
                 seg = buf[: n_items(need_samps)]
                 if fmt is not None:
-                    seg_dev = unpack_dev(jnp.asarray(seg))[: need_samps]
+                    if getattr(self, "_ingest_scale", None) is None:
+                        self._scale_for(convert_to_complex64(
+                            buf[: n_items(min(buf_len, 1 << 18))], fmt))
+                    seg_dev = unpack_dev(
+                        jnp.asarray(seg),
+                        np.float32(self._ingest_scale))[: need_samps]
                 else:
-                    seg_dev = jnp.asarray(to_planar(
-                        np.ascontiguousarray(seg)))
+                    seg_dev = jnp.asarray(
+                        to_planar(np.ascontiguousarray(seg))
+                        * np.float32(self._scale_for(seg)))
                 self.state, packed = self.trk._capture_fn(
                     seg_dev, self.state, jnp.int32(span),
                     jnp.int32(n_epochs), n_epochs_cap=n_epochs)
@@ -1012,7 +1096,7 @@ class Receiver:
         "last_frac", "carrier_phase_acc", "last_carr_rem", "rx_tow_s",
         "rx_tow_sample", "solutions", "obs_epochs", "_blocks_done",
         "_next_obs_sample", "_standby", "_abs_base", "_no_tow_syms",
-        "_acq_info",
+        "_acq_info", "_ledger_prev_start", "_ingest_scale",
     )
 
     def checkpoint(self, path: str) -> None:

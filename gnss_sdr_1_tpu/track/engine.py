@@ -1151,72 +1151,124 @@ class TrackingEngine:
 
         return jax.lax.scan(step, state, None, length=n_epochs)
 
-    # compact harvest rows ([R, E, C] i32, floats bitcast): the terminal
-    # backend's host readback pays ~tens of ms PER ARRAY plus ~45 ms/MB
-    # (PERF.md round 4), so the capture path ships ONE packed buffer with
-    # only the fields the host pipeline consumes (prompt correlator, not
-    # the full tap vector — telemetry/observables/PVT need the prompt only)
-    _PACK_START = 0            # i32 epoch start
-    _PACK_FLAGS = 1            # cur_len | valid<<16 | active<<17
-    _PACK_REM_CODE = 2         # f32 bitcast
-    _PACK_REM_CARR = 3
-    _PACK_DOPPLER = 4
-    _PACK_PROMPT_R = 5
-    _PACK_PROMPT_I = 6
-    _PACK_CN0_DELTA = 7        # cn0 f16 | code_freq_delta f16 << 16
-    _PACK_ROWS = 8
+    # compact harvest packing: the terminal backend's host readback pays
+    # ~tens of ms of latency PER ARRAY plus ~45 ms/MB (PERF.md round 4),
+    # so the capture path ships ONE flat i32 buffer holding
+    #   full rate  — flags (cur_len | valid<<16 | active<<17), the prompt
+    #                correlator as an f16 I/Q pair (telemetry consumes
+    #                every symbol; taps beyond the prompt are debug-only
+    #                and stay on device), and rem_code (f32 — the exact
+    #                sub-sample pseudorange contract rides on it)
+    #   1/D rate   — rem_carr/doppler (f32) + cn0|delta (f16x2), sampled
+    #                at epochs k % D == D-1: these feed the 20 ms
+    #                observables grid, not per-epoch logic
+    #   once       — the pre-call per-channel start (epoch starts are
+    #                reconstructed exactly as start0 + cumsum(valid*len))
+    _DEC_ROWS = 3
 
-    def _pack_outputs(self, bufs: TrackOutputs):
+    @property
+    def capture_decim(self) -> int:
+        """Decimation of the loop-state rows in packed capture outputs.
+        4 epochs (~4 ms) keeps the observables-grid state fresh through
+        mode transitions (8 ms nudged the BeiDou system test over the 5 m
+        bar) while still shrinking the readback ~2x."""
+        d = 4
+        while self._chunk_epochs % d and d > 1:
+            d //= 2
+        return d
+
+    def _pack_outputs(self, bufs: TrackOutputs, start0):
         f32 = jnp.float32
         i32 = jnp.int32
+        D = self.capture_decim
 
         def bc(x):
             return jax.lax.bitcast_convert_type(x.astype(f32), i32)
+
+        def f16x2(a, b):
+            ah = jax.lax.bitcast_convert_type(
+                a.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            bh = jax.lax.bitcast_convert_type(
+                b.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            return (ah | (bh << 16)).astype(i32)
 
         p = self.cfg.prompt_index
         prompt = bufs.correlators[:, :, p, :]          # [E, C, 2]
         flags = (bufs.cur_len & 0xFFFF) \
             | (bufs.valid.astype(i32) << 16) \
             | (bufs.active.astype(i32) << 17)
-        cn0_h = jax.lax.bitcast_convert_type(
-            bufs.cn0_dbhz.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-        dlt_h = jax.lax.bitcast_convert_type(
-            bufs.code_freq_delta.astype(jnp.float16),
-            jnp.uint16).astype(jnp.uint32)
-        return jnp.stack([
-            bufs.start, flags, bc(bufs.rem_code_phase_samples),
-            bc(bufs.rem_carr_phase_rad), bc(bufs.carrier_doppler_hz),
-            bc(prompt[..., 0]), bc(prompt[..., 1]),
-            (cn0_h | (dlt_h << 16)).astype(i32),
-        ])                                             # [R, E, C] i32
+        prompt_c = jnp.clip(prompt, -60000.0, 60000.0)   # f16 range guard
+        full = jnp.stack([flags,
+                          f16x2(prompt_c[..., 0], prompt_c[..., 1]),
+                          bc(bufs.rem_code_phase_samples)])
+        dec = jnp.stack([
+            bc(bufs.rem_carr_phase_rad[D - 1::D]),
+            bc(bufs.carrier_doppler_hz[D - 1::D]),
+            f16x2(bufs.cn0_dbhz[D - 1::D],
+                  bufs.code_freq_delta[D - 1::D]),
+        ])                                             # [3, E/D, C]
+        # 2-D [rows, C]: the channel axis stays LAST (and sharded — a 1-D
+        # flatten would all-gather the output inside the program)
+        E = full.shape[1]
+        C = full.shape[2]
+        return jnp.concatenate([
+            full.reshape(3 * E, C),
+            dec.reshape(-1, C),
+            start0.astype(i32)[None, :]], axis=0)
 
     def _unpack_outputs(self, packed: np.ndarray) -> TrackOutputs:
-        """Host-side inverse of _pack_outputs -> numpy TrackOutputs (full
-        [E, C, K, 2] correlators with non-prompt taps zero)."""
+        """Host-side inverse of _pack_outputs -> numpy TrackOutputs.
+
+        Full [E, C, K, 2] correlators carry the prompt only; epoch starts
+        are reconstructed exactly; the decimated loop-state fields are
+        UPSAMPLED by repetition, so upsampled[k] equals the true value
+        exactly at k % D == D-1 (the receiver's harvest samples there —
+        capture_decim tells it the grid)."""
         packed = np.asarray(packed)
-        E, C = packed.shape[1], packed.shape[2]
+        C = self.cfg.n_channels
         K = self.cfg.n_taps
+        D = self.capture_decim
+        n_rows = packed.shape[0] - 1
+        # n_rows = 3*E + DEC_ROWS*(E/D), E divisible by D
+        E = n_rows * D // (3 * D + self._DEC_ROWS)
+        full = packed[: 3 * E].reshape(3, E, C)
+        dec = packed[3 * E : n_rows].reshape(self._DEC_ROWS, E // D, C)
+        start0 = packed[n_rows]
 
         def fb(row):
-            return packed[row].view(np.float32)
+            return row.view(np.float32)
 
-        flags = packed[self._PACK_FLAGS]
+        def f16_lo(row):
+            return (row.view(np.uint32) & 0xFFFF).astype(np.uint16) \
+                .view(np.float16).astype(np.float32)
+
+        def f16_hi(row):
+            return (row.view(np.uint32) >> 16).astype(np.uint16) \
+                .view(np.float16).astype(np.float32)
+
+        flags = full[0]
+        valid = (flags >> 16) & 1 > 0
+        cur_len = (flags & 0xFFFF).astype(np.int32)
+        adv = np.where(valid, cur_len, 0).astype(np.int64)
+        start = start0[None, :] + np.concatenate(
+            [np.zeros((1, C), np.int64), np.cumsum(adv, axis=0)[:-1]])
         corr = np.zeros((E, C, K, 2), np.float32)
-        corr[:, :, self.cfg.prompt_index, 0] = fb(self._PACK_PROMPT_R)
-        corr[:, :, self.cfg.prompt_index, 1] = fb(self._PACK_PROMPT_I)
-        cn0_delta = packed[self._PACK_CN0_DELTA].view(np.uint32)
+        corr[:, :, self.cfg.prompt_index, 0] = f16_lo(full[1])
+        corr[:, :, self.cfg.prompt_index, 1] = f16_hi(full[1])
+
+        def up(a):
+            return np.repeat(a, D, axis=0)
+
         return TrackOutputs(
-            valid=(flags >> 16) & 1 > 0,
-            start=packed[self._PACK_START],
-            cur_len=(flags & 0xFFFF).astype(np.int32),
+            valid=valid,
+            start=start.astype(np.int32),
+            cur_len=cur_len,
             correlators=corr,
-            carrier_doppler_hz=fb(self._PACK_DOPPLER),
-            code_freq_delta=(cn0_delta >> 16).astype(np.uint16)
-            .view(np.float16).astype(np.float32),
-            rem_code_phase_samples=fb(self._PACK_REM_CODE),
-            rem_carr_phase_rad=fb(self._PACK_REM_CARR),
-            cn0_dbhz=(cn0_delta & 0xFFFF).astype(np.uint16)
-            .view(np.float16).astype(np.float32),
+            carrier_doppler_hz=up(fb(dec[1])),
+            code_freq_delta=up(f16_hi(dec[2])),
+            rem_code_phase_samples=fb(full[2]),
+            rem_carr_phase_rad=up(fb(dec[0])),
+            cn0_dbhz=up(f16_lo(dec[2])),
             active=(flags >> 17) & 1 > 0,
         )
 
@@ -1270,7 +1322,7 @@ class TrackingEngine:
             fst, ist, bufs = jax.lax.fori_loop(
                 0, n_chunks, chunk_p, (fst0, ist0, bufs))
             return self._unpack_rows(state, fst, ist), \
-                self._pack_outputs(bufs)
+                self._pack_outputs(bufs, state.start)
 
         if self.cfg.correlator in ("fft", "mxu"):
             def chunk(i, carry):
@@ -1303,7 +1355,7 @@ class TrackingEngine:
 
         n_chunks = (n_epochs + E - 1) // E
         st, bufs = jax.lax.fori_loop(0, n_chunks, chunk, (state, bufs))
-        return st, self._pack_outputs(bufs)
+        return st, self._pack_outputs(bufs, state.start)
 
     # ---------------- host API ----------------
 

@@ -58,9 +58,12 @@ def test_channel_sharded_tracking_matches_single_device():
     st2, out2 = eng.track_capture(xp_sh, st_sh, span)
 
     assert np.array_equal(np.asarray(out1.valid), np.asarray(out2.valid))
+    # prompts travel as f16 in the packed capture outputs: shard-order
+    # f32 rounding can land on adjacent f16 bins, so the equivalence bound
+    # is one f16 ULP (2^-10 relative)
     np.testing.assert_allclose(
         np.asarray(out1.correlators), np.asarray(out2.correlators),
-        rtol=1e-5, atol=1e-2)
+        rtol=1.1e-3, atol=1e-2)
     np.testing.assert_allclose(
         np.asarray(st1.carrier_doppler_hz), np.asarray(st2.carrier_doppler_hz),
         rtol=1e-5, atol=1e-3)

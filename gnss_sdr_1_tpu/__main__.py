@@ -72,6 +72,7 @@ def main(argv=None) -> int:
     frontend = None
     rinex_version = 3
     multi_cfgs = None
+    conf = None
     if args.config_file:
         from .runtime.config import conf_signal_groups, to_receiver_configs
 
@@ -267,7 +268,10 @@ def main(argv=None) -> int:
                 print(f"RTK {mode}: no baseline solution")
 
     if rcfg.positioning_mode.upper().startswith("PPP") and rx.obs_epochs:
-        ppp = rx.solve_ppp_batch()
+        # PVT.sp3_file: precise orbits/clocks (rtklib EPHOPT_PREC via
+        # pvt.precise.read_sp3); absent -> broadcast PPP
+        sp3_file = conf.property("PVT.sp3_file", "") if conf else ""
+        ppp = rx.solve_ppp_batch(sp3=sp3_file or None)
         if ppp.valid:
             from .pvt.geodesy import ecef_to_llh
             lat, lon, hgt = ecef_to_llh(ppp.rx_ecef_m)

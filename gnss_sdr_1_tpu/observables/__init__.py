@@ -75,6 +75,41 @@ class ChannelEpochHistory:
         return tow, dop, ph, self.cn0_dbhz[i1]
 
 
+class CarrierSmoother:
+    """Hatch carrier-smoothed code pseudoranges.
+
+    pr_s[k] = pr[k]/M + (M-1)/M * (pr_s[k-1] - lambda*(phi[k]-phi[k-1]))
+    with the receiver phase convention -lambda*phi growing with range (see
+    pvt/ppp.py PppObs).  The filter resets on cycle slips / gaps (code-minus
+    -carrier prediction jump beyond `slip_gate_m`).  The smoothing window M
+    saturates at `window` epochs.
+
+    The reference's observables block gained the same feature as
+    Observables.enable_carrier_smoothing (hybrid_observables_gs smoothing
+    branch); rtklib pntpos consumes the smoothed codes transparently.
+    """
+
+    def __init__(self, window: int = 50, wavelength_m: float = 0.19029367,
+                 slip_gate_m: float = 30.0):
+        self.window = max(1, int(window))
+        self.wavelength_m = wavelength_m
+        self.slip_gate_m = slip_gate_m
+        self._state: dict = {}   # key -> [count, last_phase_cycles, pr_s]
+
+    def smooth(self, key, pr_m: float, phase_cycles: float) -> float:
+        st = self._state.get(key)
+        if st is not None:
+            cnt, last_ph, last_pr = st
+            pred = last_pr - self.wavelength_m * (phase_cycles - last_ph)
+            if abs(pr_m - pred) <= self.slip_gate_m:
+                m = min(cnt + 1, self.window)
+                sm = pr_m / m + (m - 1) / m * pred
+                self._state[key] = [cnt + 1, phase_cycles, sm]
+                return sm
+        self._state[key] = [1, phase_cycles, pr_m]
+        return pr_m
+
+
 @dataclasses.dataclass
 class Observation:
     prn: int

@@ -55,6 +55,10 @@ class PppConfig:
     estimate_ztd: bool = True
     # PPP_Kinematic: epoch-to-epoch position random walk (1-sigma, meters)
     kinematic_process_m: float = 0.5
+    # precise products (pvt.precise.Sp3Product): satellites present in the
+    # product use its interpolated orbits/clocks instead of broadcast —
+    # rtklib satposs' EPHOPT_PREC branch (rtklib_preceph.cc peph2pos)
+    precise: object | None = None
     # cycle-slip detector: jump in (L - P) between consecutive epochs [m]
     slip_threshold_m: float = 3.0
     max_iter: int = 6
@@ -95,10 +99,12 @@ def _sat_state(eph, tow_tag: float, pr_m: float):
     `tow_tag` is the epoch tag in RECEIVER-CLOCK time; the conventional
     t_tx = tag - pr/c already removes the receiver clock (the pseudorange
     carries it), so no dts subtraction here (rtklib ephpos/satposs)."""
+    from .solver import sat_clock, sat_pos_vel
+
     tau = pr_m / SPEED_OF_LIGHT_M_S
     t_tx = tow_tag - tau
-    clk = satellite_clock_correction(eph, t_tx)
-    pos, _ = satellite_position_velocity(eph, t_tx - clk)
+    clk = sat_clock(eph, t_tx)
+    pos, _ = sat_pos_vel(eph, t_tx - clk)
     return _rotate_earth(pos, tau), clk
 
 
@@ -165,6 +171,12 @@ def solve_ppp(
     """
     cfg = cfg or PppConfig()
     inval = PppSolution(False, cfg.mode)
+    if cfg.precise is not None:
+        # precise orbits/clocks where available, broadcast fallback per sat
+        prec = cfg.precise.as_ephemerides()
+        ephemerides = {**ephemerides,
+                       **{p: e for p, e in prec.items() if p in ephemerides
+                          or not ephemerides}}
     kinematic = cfg.mode.upper().endswith("KINEMATIC")
     lam1 = SPEED_OF_LIGHT_M_S / cfg.f1_hz
     dual = cfg.f2_hz is not None

@@ -21,7 +21,8 @@ import dataclasses
 
 import numpy as np
 
-from ..observables import compute_observables
+from ..constants import SPEED_OF_LIGHT_M_S
+from ..observables import CarrierSmoother, compute_observables
 from ..pvt.solver import PvtSolution, solve_pvt
 from .receiver import Receiver, ReceiverConfig
 
@@ -97,6 +98,16 @@ class MultiReceiver:
         out: list[JointSolution] = []
         rx_tow = None
         rx_t_anchor = None
+        # per-group Hatch smoothers at each band's wavelength (the joint
+        # analogue of Receiver._smoother; keys are the offset PRN ids so
+        # L1/L2C of one SV smooth independently)
+        smoothers = [
+            CarrierSmoother(
+                window=rx.cfg.carrier_smoothing_epochs,
+                wavelength_m=SPEED_OF_LIGHT_M_S / rx.cfg.spec.carrier_freq_hz)
+            if rx.cfg.carrier_smoothing_epochs > 0 else None
+            for rx in self.receivers
+        ]
         t = (np.floor(start_s / dt) + 1.0) * dt
         while t < stop_s:
             ephs, prs, dops, freqs, systems = {}, {}, {}, {}, {}
@@ -122,7 +133,10 @@ class MultiReceiver:
                     # multi-band so L1/L2/L5 of one SV all contribute)
                     key = p + _SYS_OFFSET[sysid] + 1000 * gi
                     ephs[key] = rx_i.decoders[p].ephemeris
-                    prs[key] = o.pseudorange_m
+                    prs[key] = (
+                        smoothers[gi].smooth(key, o.pseudorange_m,
+                                             o.carrier_phase_cycles)
+                        if smoothers[gi] is not None else o.pseudorange_m)
                     dops[key] = o.doppler_hz
                     # clock/ISB column PER GROUP: each group's observables
                     # carry an independent RX-clock anchor (its own obs
@@ -137,7 +151,9 @@ class MultiReceiver:
             if len(prs) >= 4 and n_distinct >= 4 and rx_tow is not None:
                 tow_k = rx_tow + (t - rx_t_anchor)
                 sol = solve_pvt(ephs, prs, tow_k, dopplers_hz=dops,
-                                systems=systems)
+                                systems=systems,
+                                raim=self.receivers[0].cfg.raim,
+                                raim_sigma_m=self.receivers[0].cfg.raim_sigma_m)
                 if sol.valid:
                     out.append(JointSolution(sol, per_sys))
             t += dt

@@ -26,6 +26,23 @@ from ..track import TrackConfig, TrackingEngine
 log = logging.getLogger("gnss_sdr_1_tpu.receiver")
 
 
+def _slice_planar(samples_dev, offset, *, length):
+    """Jitted on-device segment slicer for preloaded captures (lazy jit so
+    importing the module never touches a backend)."""
+    import functools
+
+    import jax
+
+    cache = _slice_planar.__dict__
+    fn = cache.get("fn")
+    if fn is None:
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def fn(s, o, *, length):
+            return jax.lax.dynamic_slice(s, (o, 0), (length, 2))
+        cache["fn"] = fn
+    return fn(samples_dev, offset, length=length)
+
+
 @dataclasses.dataclass
 class ReceiverConfig:
     fs_hz: float = 4_000_000.0
@@ -91,6 +108,14 @@ class ReceiverConfig:
     #   PVT.trop_model=Saastamoinen)
     elevation_mask_deg: float = 5.0
     pvt_weighted: bool = True
+    # Hatch carrier-smoothing window in observable epochs (0 disables) —
+    # Observables.enable_carrier_smoothing / smoothing_factor in the
+    # reference's observables block
+    carrier_smoothing_epochs: int = 25
+    # chi-square residual validation + single-satellite fault exclusion
+    # (rtklib_pntpos.cc valsol :660 / raim_fde :699)
+    raim: bool = True
+    raim_sigma_m: float = 2.5
     # PVT.positioning_mode (pvt_conf): Single is the built-in chain;
     # DGNSS/Static/Kinematic engage pvt.rtk.solve_baseline when base-station
     # observables are supplied (CLI --base_obs / library use)
@@ -107,6 +132,13 @@ class ReceiverConfig:
     # a decoded TOW (the reference drops after d_max_symbols_without_valid_
     # frame, gps_l1_ca_telemetry_decoder_gs.cc:364); 0 disables
     watchdog_symbols: int = 45000
+    # symbol-grid compact capture readback (engine._pack_outputs_symbol):
+    # once every active channel is bit-synced the device reduces prompts to
+    # the symbol grid before readback (~10x less d2h — the reference's
+    # one-Gnss_Synchro-per-integration cadence, gnss_synchro.h:44-81).
+    # 'auto' enables it for signals whose symbol is carried directly on the
+    # unwiped prompt (GPS L1 C/A); 'off' forces full-rate readback
+    symbol_readback: str = "auto"
 
     @property
     def spec(self) -> SignalSpec:
@@ -340,6 +372,17 @@ class Receiver:
         self.watchdog_trips = 0
         self._acq_info: dict[int, tuple] = {}
         self._standby = False
+        # symbol-readback carry: prn -> [sum_of_means, pending_epochs,
+        # phase_in_symbol, start_of_first_pending] (see _harvest_symbols)
+        self._sym_carry: dict[int, list] = {}
+        self._smoother = None
+        if cfg.carrier_smoothing_epochs > 0:
+            from ..constants import SPEED_OF_LIGHT_M_S as _c
+            from ..observables import CarrierSmoother
+
+            self._smoother = CarrierSmoother(
+                window=cfg.carrier_smoothing_epochs,
+                wavelength_m=_c / spec.carrier_freq_hz)
         self.monitor = None
         self.pvt_monitor = None
         if cfg.enable_monitor:
@@ -505,6 +548,9 @@ class Receiver:
                     log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                     self.channel_prn[ch] = None
                 continue
+            # leaving symbol mode: complete the decoder's epoch stream first
+            if self._sym_carry.get(prn, (0.0, 0))[1]:
+                self._flush_sym_carry(prn)
             prompts = corr[v, ch, p_idx]
             ep_starts = starts[v, ch] + block_offset_abs
             ep_dops = dops[v, ch]
@@ -644,6 +690,155 @@ class Receiver:
                 self._monitor_tap(ch, prn, prompts, ep_starts, ep_dops,
                                   ep_cn0, acc_series)
             if not bool(active[-1, ch]):
+                log.info("ch %d PRN %d lost lock — releasing", ch, prn)
+                self.channel_prn[ch] = None
+
+    # ---------------- symbol-grid harvest (compact readback) ----------
+
+    def _symbol_offsets(self):
+        """Per-channel symbol-boundary offsets (in [1, N]) for the compact
+        capture readback, or None when any active channel can't run on the
+        symbol grid yet (no bit sync, unsupported signal, KF engine, or
+        monitor tap wanting per-epoch series)."""
+        cfg = self.cfg
+        if (cfg.symbol_readback != "auto" or self.trk_kind != "dll_pll"
+                or cfg.signal_id != "1C" or self.monitor is not None):
+            return None
+        N = self._sec_period
+        if not N:
+            return None
+        offs = np.full(cfg.n_channels, N, dtype=np.int32)
+        any_active = False
+        for ch, prn in enumerate(self.channel_prn):
+            if prn is None:
+                continue
+            any_active = True
+            dec = self.decoders.get(prn)
+            bit0 = getattr(dec, "bit_offset", None) if dec else None
+            if bit0 is None:
+                return None
+            offs[ch] = ((bit0 - self.sym_count[prn] - 1) % N) + 1
+        return offs if any_active else None
+
+    def _flush_sym_carry(self, prn) -> None:
+        """Emit a pending partial symbol before leaving symbol mode so the
+        decoder's epoch indexing stays gap-free."""
+        carry = self._sym_carry.get(prn)
+        if not carry or carry[1] == 0:
+            return
+        dec = self.decoders.get(prn)
+        if dec is not None:
+            pend = carry[1]
+            vals = np.full(pend, carry[0])
+            st0 = int(carry[3] if carry[3] is not None else 0)
+            sts = st0 + np.arange(pend, dtype=np.int64) * self.trk._t0_int
+            dec.push(vals, sts)
+        self._sym_carry[prn] = [0.0, 0, carry[2], None]
+
+    def _harvest_symbols(self, souts, block_offset_abs: int,
+                         sym_off) -> None:
+        """Harvest a SymbolOutputs segment (engine._pack_outputs_symbol).
+
+        Decoders receive one synthesized epoch batch per completed symbol
+        (constant value = the symbol's prompt mean — bit-sign exact, since
+        every epoch of a symbol carries the same bit); observables history
+        points land on the symbol grid (20 ms — exactly the A.10 tick), with
+        the same entering-state m-1 pairing and ledger recursion as the
+        decimated full-rate path."""
+        N = self._sec_period
+        t0 = self.trk._t0_int
+        fs = self.cfg.fs_hz
+        vcount = np.asarray(souts.vcount)
+        means_i = np.asarray(souts.mean_i, dtype=np.float64)
+        starts = np.asarray(souts.start).astype(np.int64) + block_offset_abs
+        fracs = np.asarray(souts.frac, dtype=np.float64)
+        carrs = np.asarray(souts.rem_carr_phase_rad, dtype=np.float64)
+        dops = np.asarray(souts.carrier_doppler_hz, dtype=np.float64)
+        cn0s = np.asarray(souts.cn0_dbhz, dtype=np.float64)
+        S = vcount.shape[0]
+        for ch, prn in enumerate(self.channel_prn):
+            if prn is None:
+                continue
+            nv = int(souts.n_valid[ch])
+            if nv == 0:
+                if not bool(souts.active[ch]):
+                    log.info("ch %d PRN %d lost lock — releasing", ch, prn)
+                    self.channel_prn[ch] = None
+                continue
+            dec = self.decoders.get(prn)
+            base_sym = self.sym_count[prn]
+            b0 = int(sym_off[ch])
+            carry = self._sym_carry.setdefault(
+                prn, [0.0, 0, (N - b0) % N, None])
+            if carry[2] != (N - b0) % N:
+                # phase slip (mode switch / reacquisition): resync
+                self._flush_sym_carry(prn)
+                carry = self._sym_carry[prn]
+                carry[2] = (N - b0) % N
+            hist = self.histories[prn]
+            acc = self.carrier_phase_acc.get(prn, 0.0)
+            prev_carr = self.last_carr_rem.get(prn)
+            prev_s = self._ledger_prev_start.get(prn)
+            for s in range(S):
+                k = int(vcount[s, ch])
+                if k == 0:
+                    if s > 0:
+                        break           # valid slots form a prefix
+                    continue
+                if s >= 1:
+                    s_m = float(starts[s, ch])
+                    carr_m = float(carrs[s, ch])
+                    dop_m = float(dops[s, ch])
+                    if prev_s is not None and prev_carr is not None:
+                        est = 2.0 * np.pi * dop_m * (s_m - prev_s) / fs
+                        resid = carr_m - prev_carr - est
+                        acc += est + (np.mod(resid + np.pi, 2.0 * np.pi)
+                                      - np.pi)
+                    prev_s, prev_carr = s_m, carr_m
+                    if dec is not None:
+                        e_s = b0 + (s - 1) * N
+                        tow = dec.tow_at_symbol(base_sym + e_s)
+                        if tow is not None:
+                            hist.push(s_m + float(fracs[s, ch]), tow,
+                                      dop_m, acc, float(cn0s[s, ch]))
+                if dec is not None:
+                    if carry[1] == 0:
+                        carry[3] = int(starts[s, ch])
+                    carry[0] += float(means_i[s, ch])
+                    carry[1] += k
+                    carry[2] += k
+                    if carry[2] >= N:
+                        pend = carry[1]
+                        vals = np.full(pend, carry[0])
+                        st0 = int(carry[3])
+                        sts = st0 + np.arange(pend, dtype=np.int64) * t0
+                        dec.push(vals, sts)
+                        carry[0], carry[1], carry[2], carry[3] = \
+                            0.0, 0, 0, None
+            self.carrier_phase_acc[prn] = acc
+            if prev_carr is not None:
+                self.last_carr_rem[prn] = prev_carr
+            if prev_s is not None:
+                self._ledger_prev_start[prn] = prev_s
+            self.sym_count[prn] = base_sym + nv
+            wd = self.cfg.watchdog_symbols
+            if dec is not None and wd > 0:
+                if dec.tow_at_symbol(self.sym_count[prn] - 1) is None:
+                    self._no_tow_syms[prn] = (
+                        self._no_tow_syms.get(prn, 0) + nv)
+                    if self._no_tow_syms[prn] > wd:
+                        log.info("ch %d PRN %d telemetry watchdog "
+                                 "(%d symbols, no frame) — releasing",
+                                 ch, prn, self._no_tow_syms[prn])
+                        self.state = self.trk.deactivate_channel(
+                            self.state, ch)
+                        self.channel_prn[ch] = None
+                        self._no_tow_syms[prn] = 0
+                        self.watchdog_trips += 1
+                        continue
+                else:
+                    self._no_tow_syms[prn] = 0
+            if not bool(souts.active[ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                 self.channel_prn[ch] = None
 
@@ -847,9 +1042,14 @@ class Receiver:
                         if dec_iono is not None and dec_iono.valid:
                             iono = dec_iono
                             break
+                prs = {p: o.pseudorange_m for p, o in obs.items()}
+                if self._smoother is not None:
+                    prs = {p: self._smoother.smooth(
+                        p, o.pseudorange_m, o.carrier_phase_cycles)
+                        for p, o in obs.items()}
                 sol = solve_pvt(
                     ephs,
-                    {p: o.pseudorange_m for p, o in obs.items()},
+                    prs,
                     rx_tow,
                     dopplers_hz={p: o.doppler_hz for p, o in obs.items()},
                     carrier_freq_hz=cfg.spec.carrier_freq_hz,
@@ -857,6 +1057,8 @@ class Receiver:
                     apply_tropo=cfg.trop_model == "saastamoinen",
                     el_mask_deg=cfg.elevation_mask_deg,
                     weighted=cfg.pvt_weighted,
+                    raim=cfg.raim,
+                    raim_sigma_m=cfg.raim_sigma_m,
                 )
                 if sol.valid:
                     self.solutions.append(sol)
@@ -864,12 +1066,21 @@ class Receiver:
                         self.pvt_monitor.send_pvt(sol)
             self._next_obs_sample += tick
 
-    def solve_ppp_batch(self):
+    def solve_ppp_batch(self, sp3=None):
         """PPP over the accumulated observable epochs, selected by
         PVT.positioning_mode=PPP_Static/PPP_Kinematic (the reference's
         rtklib_ppp.cc pppos() chain behind rtklib_solver.cc:491) —
-        run after process() when the mode asks for it."""
+        run after process() when the mode asks for it.
+
+        `sp3`: optional precise products (pvt.precise.Sp3Product or a path
+        to an SP3 file, conf key PVT.sp3_file) — switches the orbit/clock
+        source to interpolated precise values (rtklib EPHOPT_PREC)."""
         from ..pvt.ppp import PppConfig, PppObs, solve_ppp
+
+        if isinstance(sp3, str):
+            from ..pvt.precise import read_sp3
+
+            sp3 = read_sp3(sp3)
 
         ephs = {p: d.ephemeris for p, d in self.decoders.items()
                 if d.ephemeris_complete}
@@ -891,7 +1102,8 @@ class Receiver:
             f1_hz=self.cfg.spec.carrier_freq_hz,
             iono=iono,
             trop_model=self.cfg.trop_model,
-            el_mask_deg=max(self.cfg.elevation_mask_deg, 7.0)))
+            el_mask_deg=max(self.cfg.elevation_mask_deg, 7.0),
+            precise=sp3))
 
     def _scale_for(self, samples) -> float:
         """Unit-RMS ingest normalization (computed once, checkpointed):
@@ -907,6 +1119,20 @@ class Receiver:
         return scale
 
     # ---------------- main loop ----------------
+
+    def preload(self, samples: np.ndarray) -> None:
+        """Upload the whole capture to device HBM once (the production
+        ingest-DMA pattern); process(samples) then slices tracking segments
+        on device instead of re-uploading per segment — removes the per-
+        segment h2d from the steady-state loop (PERF.md: the dev tunnel's
+        ~44 MB/s h2d would otherwise bound the receiver)."""
+        import jax.numpy as jnp
+
+        from ..utils.planar import to_planar
+
+        self._samples_dev = (jnp.asarray(to_planar(np.asarray(samples)))
+                             * np.float32(self._scale_for(samples)))
+        self._samples_dev.block_until_ready()
 
     def process(self, samples: np.ndarray) -> list[PvtSolution]:
         """Run the receiver over a full capture (complex64 at fs).
@@ -947,12 +1173,25 @@ class Receiver:
                 self.state, outs = self._kf_track_segment(seg, span)
                 self._harvest(outs, abs_base + self._pos)
             else:
-                seg_dev = jnp.asarray(
-                    to_planar(seg) * np.float32(self._scale_for(samples)))
-                self.state, outs = self.trk.track_capture(
-                    seg_dev, self.state, span)
-                self._harvest(outs, abs_base + self._pos,
-                              decim=self.trk.capture_decim)
+                sdev = getattr(self, "_samples_dev", None)
+                if sdev is not None and sdev.shape[0] >= self._pos + span + nmax:
+                    seg_dev = _slice_planar(
+                        sdev, jnp.int32(self._pos), length=span + nmax)
+                else:
+                    seg_dev = jnp.asarray(
+                        to_planar(seg) * np.float32(self._scale_for(samples)))
+                sym_off = self._symbol_offsets()
+                if sym_off is not None:
+                    self.state, souts = self.trk.track_capture_symbols(
+                        seg_dev, self.state, span, sym_off,
+                        self._sec_period)
+                    self._harvest_symbols(souts, abs_base + self._pos,
+                                          sym_off)
+                else:
+                    self.state, outs = self.trk.track_capture(
+                        seg_dev, self.state, span)
+                    self._harvest(outs, abs_base + self._pos,
+                                  decim=self.trk.capture_decim)
             self._maybe_extend()
             self._observables_and_pvt()
             self._pos += span
@@ -1096,7 +1335,8 @@ class Receiver:
         "last_frac", "carrier_phase_acc", "last_carr_rem", "rx_tow_s",
         "rx_tow_sample", "solutions", "obs_epochs", "_blocks_done",
         "_next_obs_sample", "_standby", "_abs_base", "_no_tow_syms",
-        "_acq_info", "_ledger_prev_start", "_ingest_scale",
+        "_acq_info", "_ledger_prev_start", "_ingest_scale", "_smoother",
+        "_sym_carry",
     )
 
     def checkpoint(self, path: str) -> None:

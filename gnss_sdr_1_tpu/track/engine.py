@@ -137,6 +137,28 @@ class TrackOutputs(NamedTuple):
     active: jnp.ndarray            # still tracking after this epoch
 
 
+class SymbolOutputs(NamedTuple):
+    """Symbol-grid compact capture outputs ([S, C] each; S symbol slots of
+    `sym_n` epochs).  The device reduces per-epoch outputs onto the known
+    bit/secondary grid before readback — one Gnss_Synchro-rate record per
+    integration period instead of per code period, the reference's output
+    cadence (gnss_synchro.h:44-81 — one record per integration, not per ms).
+    Slot 0 is the partial head finishing the previous segment's symbol;
+    slots with vcount == sym_n are complete symbols."""
+
+    start: jnp.ndarray        # i32 start sample of the slot's first epoch
+    mean_i: jnp.ndarray       # f32 mean prompt I over the slot's epochs
+    mean_q: jnp.ndarray       # f32 mean prompt Q
+    frac: jnp.ndarray         # f32 pre-wrap rem_code fraction entering slot
+    rem_carr_phase_rad: jnp.ndarray  # f32 NCO ledger entering the slot
+    carrier_doppler_hz: jnp.ndarray
+    cn0_dbhz: jnp.ndarray
+    code_freq_delta: jnp.ndarray
+    vcount: jnp.ndarray       # i32 valid epochs in the slot (<= sym_n)
+    n_valid: jnp.ndarray      # i32 [C] total valid epochs this segment
+    active: jnp.ndarray       # bool [C] channel still tracking at the end
+
+
 def _where_tree(mask, new, old):
     """Select pytree leaves per-channel: mask [C] broadcast against leading
     channel axis of every leaf."""
@@ -325,7 +347,7 @@ class TrackingEngine:
         )
         self._capture_fn = jax.jit(
             self._track_capture_impl,
-            static_argnames=("n_epochs_cap",),
+            static_argnames=("n_epochs_cap", "sym_n"),
         )
 
     # ---------------- state management (host) ----------------
@@ -1272,8 +1294,120 @@ class TrackingEngine:
             active=(flags >> 17) & 1 > 0,
         )
 
+    # -- symbol-grid compact packing (post-sync fast path) --------------
+    #
+    # Once the host knows each channel's bit/secondary boundary, telemetry
+    # only needs one prompt per SYMBOL (20 epochs for 1C) and the
+    # observables grid runs at the same cadence, so the capture program
+    # reduces its full-rate buffers onto the symbol grid before readback:
+    # 7 rows x (E/N) instead of 3.75 rows x E — ~10x less d2h, which is
+    # the terminal backend's entire RTF wall (PERF.md round 4).  The hot
+    # loop is untouched; this is a pure packing epilogue.
+
+    @staticmethod
+    def n_symbol_slots(n_epochs_cap: int, sym_n: int) -> int:
+        return n_epochs_cap // sym_n + 2
+
+    def _pack_outputs_symbol(self, bufs: TrackOutputs, entering_rem,
+                             sym_off, N: int):
+        f32, i32 = jnp.float32, jnp.int32
+        cap, C = bufs.valid.shape
+        S = self.n_symbol_slots(cap, N)
+        p = self.cfg.prompt_index
+
+        def bc(x):
+            return jax.lax.bitcast_convert_type(x.astype(f32), i32)
+
+        def f16x2(a, b):
+            ah = jax.lax.bitcast_convert_type(
+                a.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            bh = jax.lax.bitcast_convert_type(
+                b.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            return (ah | (bh << 16)).astype(i32)
+
+        b0 = sym_off[None, :].astype(i32)                # [1, C], in [1, N]
+        sl = jnp.arange(S, dtype=i32)
+        # slot sums via per-channel roll + reshape: slot 0 = the partial
+        # head [0, b0); slot s >= 1 covers [b0 + (s-1)N, b0 + sN).  Rolling
+        # channel c forward by N - b0_c puts epoch b0 at row N, so an
+        # [S, N] reshape sums each slot — no [S, cap, C] one-hot tensor
+        # (that blows to ~0.5 GB for long captures).
+        v = bufs.valid.astype(f32)
+        prompt = bufs.correlators[:, :, p, :]            # [cap, C, 2]
+        fields = jnp.concatenate(
+            [prompt * v[..., None], v[..., None]], axis=-1)  # [cap, C, 3]
+        P = S * N
+        fields = jnp.pad(fields, ((0, P - cap), (0, 0), (0, 0)))
+        rolled = jax.vmap(
+            lambda col, sh: jnp.roll(col, sh, axis=0),
+            in_axes=(1, 0), out_axes=1)(fields, (N - sym_off).astype(i32))
+        sums = rolled.reshape(S, N, C, 3).sum(axis=1)    # [S, C, 3]
+        mi = sums[..., 0] * (1.0 / N)
+        mq = sums[..., 1] * (1.0 / N)
+        vcount = sums[..., 2].astype(i32)
+        # entering epoch of each slot and its predecessor (slot state rows
+        # mirror the decim harvest's m-1 sampling)
+        e_s = jnp.clip(b0 - N + sl[:, None] * N, 0, cap - 1)   # [S, C]
+        em1 = jnp.clip(e_s - 1, 0, cap - 1)
+
+        def take(a, idx):
+            return jnp.take_along_axis(a, idx, axis=0)
+
+        rem = bufs.rem_code_phase_samples
+        prev = jnp.concatenate([entering_rem[None], rem[:-1]], axis=0)
+        # pre-floor code-phase fraction (receiver._harvest wrap note): the
+        # true drift is << 0.5 sample/epoch, so the round() recovers the
+        # +-1-sample wrap the device's A.6 floor recursion realizes late
+        fracs = rem - jnp.round(rem - prev)
+        nv = jnp.sum(v, axis=0).astype(i32)              # [C]
+        active_last = take(bufs.active,
+                           jnp.clip(nv - 1, 0, cap - 1)[None, :])
+        rows = jnp.concatenate([
+            take(bufs.start, e_s),
+            f16x2(mi, mq),
+            bc(take(fracs, em1)),
+            bc(take(bufs.rem_carr_phase_rad, em1)),
+            bc(take(bufs.carrier_doppler_hz, em1)),
+            f16x2(take(bufs.cn0_dbhz, em1),
+                  take(bufs.code_freq_delta, em1)),
+            vcount,
+            (nv | (active_last[0].astype(i32) << 16))[None, :],
+        ], axis=0)
+        return rows
+
+    def _unpack_outputs_symbol(self, packed: np.ndarray) -> SymbolOutputs:
+        packed = np.asarray(packed)
+        S = (packed.shape[0] - 1) // 7
+
+        def fb(rows):
+            return rows.view(np.float32)
+
+        def f16_lo(rows):
+            return (rows.view(np.uint32) & 0xFFFF).astype(np.uint16) \
+                .view(np.float16).astype(np.float32)
+
+        def f16_hi(rows):
+            return (rows.view(np.uint32) >> 16).astype(np.uint16) \
+                .view(np.float16).astype(np.float32)
+
+        tail = packed[7 * S]
+        return SymbolOutputs(
+            start=packed[0:S],
+            mean_i=f16_lo(packed[S:2 * S]),
+            mean_q=f16_hi(packed[S:2 * S]),
+            frac=fb(packed[2 * S:3 * S]),
+            rem_carr_phase_rad=fb(packed[3 * S:4 * S]),
+            carrier_doppler_hz=fb(packed[4 * S:5 * S]),
+            cn0_dbhz=f16_lo(packed[5 * S:6 * S]),
+            code_freq_delta=f16_hi(packed[5 * S:6 * S]),
+            vcount=packed[6 * S:7 * S],
+            n_valid=tail & 0xFFFF,
+            active=(tail >> 16) & 1 > 0,
+        )
+
     def _track_capture_impl(self, samples, state: TrackState, limit,
-                            n_epochs, *, n_epochs_cap: int):
+                            n_epochs, sym_off=None, *, n_epochs_cap: int,
+                            sym_n: int = 0):
         """Dynamic epoch loop over a device-resident capture.
 
         `limit` (traced): epochs start only while start < limit.
@@ -1281,7 +1415,9 @@ class TrackingEngine:
         device loop (the terminal backend unrolls static-length scans, which
         makes long-capture compiles intractable).  Outputs are written into
         preallocated [n_epochs_cap, ...] buffers and returned as ONE packed
-        [R, cap, C] i32 buffer (_pack_outputs).
+        [R, cap, C] i32 buffer (_pack_outputs), or — when sym_n > 0 and
+        sym_off [C] gives each channel's symbol boundary (in [1, sym_n]) —
+        the ~10x smaller symbol-grid reduction (_pack_outputs_symbol).
         """
         samples = self._pad_for_chunks(samples)
         C = self.cfg.n_channels
@@ -1290,6 +1426,14 @@ class TrackingEngine:
         E = self._chunk_epochs          # epochs per device-loop iteration
         n_chunks_cap = (n_epochs_cap + E - 1) // E
         cap = n_chunks_cap * E
+
+        if sym_n > 0:
+            def pack(b):
+                return self._pack_outputs_symbol(
+                    b, state.rem_code_phase_samples, sym_off, sym_n)
+        else:
+            def pack(b):
+                return self._pack_outputs(b, state.start)
         bufs = TrackOutputs(
             valid=jnp.zeros((cap, C), bool),
             start=jnp.zeros((cap, C), jnp.int32),
@@ -1321,8 +1465,7 @@ class TrackingEngine:
             n_chunks = (n_epochs + E - 1) // E
             fst, ist, bufs = jax.lax.fori_loop(
                 0, n_chunks, chunk_p, (fst0, ist0, bufs))
-            return self._unpack_rows(state, fst, ist), \
-                self._pack_outputs(bufs, state.start)
+            return self._unpack_rows(state, fst, ist), pack(bufs)
 
         if self.cfg.correlator in ("fft", "mxu"):
             def chunk(i, carry):
@@ -1355,7 +1498,7 @@ class TrackingEngine:
 
         n_chunks = (n_epochs + E - 1) // E
         st, bufs = jax.lax.fori_loop(0, n_chunks, chunk, (state, bufs))
-        return st, self._pack_outputs(bufs, state.start)
+        return st, pack(bufs)
 
     # ---------------- host API ----------------
 
@@ -1380,6 +1523,26 @@ class TrackingEngine:
             jnp.asarray(samples), state, base=base, n_epochs=n_epochs
         )
         return self.rebase(new_state, base), outs
+
+    def track_capture_symbols(self, samples_device, state: TrackState,
+                              span: int, sym_off, sym_n: int):
+        """Whole-capture tracking with symbol-grid compact readback.
+
+        `sym_off` [C] int: each channel's next symbol boundary as an epoch
+        index in [1, sym_n] (host bit/secondary sync supplies it); `sym_n`
+        the symbols-per-... epochs per symbol (20 for GPS L1 C/A).  Returns
+        (state_rebased, SymbolOutputs) — ~10x less d2h than track_capture
+        (see _pack_outputs_symbol).
+        """
+        need = span + self.cfg.epoch_samples_max
+        if samples_device.shape[0] < need:
+            raise ValueError(f"capture must hold >= {need} samples")
+        n_epochs = span // (self._t0_int - 2) + 2
+        st, packed = self._capture_fn(
+            samples_device, state, jnp.int32(span), jnp.int32(n_epochs),
+            jnp.asarray(sym_off, dtype=jnp.int32),
+            n_epochs_cap=n_epochs, sym_n=int(sym_n))
+        return self.rebase(st, span), self._unpack_outputs_symbol(packed)
 
     def track_capture(self, samples_device, state: TrackState, span: int,
                       segment_epochs: int | None = None):

@@ -196,7 +196,8 @@ def decode_mt1005(payload: bytes) -> dict:
 
 @dataclasses.dataclass
 class RtcmObs:
-    """One satellite-signal observation for RTCM encoding."""
+    """One satellite observation for legacy RTCM encoding (band-2 fields
+    feed the dual-frequency MT1003/1004/1011/1012)."""
     prn: int
     pseudorange_m: float
     carrier_phase_cycles: float = 0.0
@@ -204,6 +205,14 @@ class RtcmObs:
     cn0_dbhz: float = 0.0
     doppler_hz: float = 0.0
     wavelength_m: float = SPEED_OF_LIGHT / 1575.42e6
+    # GLONASS frequency-channel number k in [-7, 6] (DF040 = k + 7)
+    fdma_k: int = 0
+    # optional second band (L2 / G2)
+    pseudorange2_m: float | None = None
+    carrier_phase2_cycles: float = 0.0
+    lock2_time_s: float = 0.0
+    cn0_2_dbhz: float = 0.0
+    wavelength2_m: float = SPEED_OF_LIGHT / 1227.60e6
 
 
 def _df402_lock(lock_s: float) -> int:
@@ -267,6 +276,220 @@ def decode_mt1002(payload: bytes) -> dict:
         obs.append({"prn": prn, "pseudorange_m": pr,
                     "phase_minus_code_m": diff, "lock": lock,
                     "cn0_dbhz": cn0})
+    out["observations"] = obs
+    return out
+
+
+def _wrap_phase_diff(phase_m: float, pr_m: float) -> float:
+    """DF012/DF018-style (phaserange - pseudorange): the 20-bit field at
+    0.0005 m spans +-262.144 m; wrap at the field span to avoid silent
+    two's-complement aliasing (rtcm.cc set_DF012 gate)."""
+    return (phase_m - pr_m + 262.144) % 524.288 - 262.144
+
+
+def encode_mt1001(station_id: int, tow_s: float,
+                  observations: list[RtcmObs]) -> bytes:
+    """GPS L1-only basic observables (rtcm.cc print_MT1001 — MT1002
+    without the ambiguity/CNR extension)."""
+    w = BitWriter()
+    w.u(12, 1001)
+    w.u(12, station_id)
+    w.u(30, _round(tow_s * 1e3) % 604800000)
+    w.u(1, 0)
+    w.u(5, len(observations))
+    w.u(1, 0).u(3, 0)
+    for ob in observations:
+        mod = ob.pseudorange_m % _MS_RANGE
+        diff = _wrap_phase_diff(
+            ob.carrier_phase_cycles * ob.wavelength_m, ob.pseudorange_m)
+        w.u(6, ob.prn)
+        w.u(1, 0)
+        w.u(24, _round(mod / 0.02))
+        w.s(20, _round(diff / 5e-4))
+        w.u(7, _df402_lock(ob.lock_time_s))
+    return frame(w.to_bytes())
+
+
+def decode_mt1001(payload: bytes) -> dict:
+    r = BitReader(payload)
+    out = {"msgnum": r.u(12), "station_id": r.u(12), "tow_s": r.u(30) / 1e3}
+    r.u(1)
+    n = r.u(5)
+    r.u(4)
+    obs = []
+    for _ in range(n):
+        prn = r.u(6)
+        r.u(1)
+        mod = r.u(24) * 0.02
+        diff = r.s(20) * 5e-4
+        lock = r.u(7)
+        obs.append({"prn": prn, "pseudorange_mod_1ms_m": mod,
+                    "phase_minus_code_m": diff, "lock": lock})
+    out["observations"] = obs
+    return out
+
+
+def _put_gps_dual(w: BitWriter, ob: RtcmObs, extended: bool) -> None:
+    """Per-satellite body shared by MT1003 (basic) / MT1004 (extended):
+    DF009-DF013 [DF014 DF015] DF016-DF019 [DF020] (rtcm.cc print_MT1004)."""
+    amb = int(ob.pseudorange_m // _MS_RANGE)
+    mod = ob.pseudorange_m - amb * _MS_RANGE
+    diff1 = _wrap_phase_diff(
+        ob.carrier_phase_cycles * ob.wavelength_m, ob.pseudorange_m)
+    w.u(6, ob.prn)
+    w.u(1, 0)                       # DF010 L1 code: C/A
+    w.u(24, _round(mod / 0.02))
+    w.s(20, _round(diff1 / 5e-4))
+    w.u(7, _df402_lock(ob.lock_time_s))
+    if extended:
+        w.u(8, amb)
+        w.u(8, _round(ob.cn0_dbhz / 0.25))
+    pr2 = ob.pseudorange2_m if ob.pseudorange2_m is not None \
+        else ob.pseudorange_m
+    d21 = pr2 - ob.pseudorange_m
+    diff2 = _wrap_phase_diff(
+        ob.carrier_phase2_cycles * ob.wavelength2_m, ob.pseudorange_m)
+    w.u(2, 0)                       # DF016 L2 code: C/A or L2C
+    # DF017 L2-L1 pseudorange difference (14 bit, 0.02 m); sentinel -8192
+    # when no valid L2 range
+    w.s(14, -8192 if ob.pseudorange2_m is None
+        else max(-8191, min(8191, _round(d21 / 0.02))))
+    w.s(20, _round(diff2 / 5e-4))
+    w.u(7, _df402_lock(ob.lock2_time_s))
+    if extended:
+        w.u(8, _round(ob.cn0_2_dbhz / 0.25))
+
+
+def _get_gps_dual(r: BitReader, extended: bool) -> dict:
+    o = {"prn": r.u(6)}
+    r.u(1)
+    mod = r.u(24) * 0.02
+    o["phase_minus_code_m"] = r.s(20) * 5e-4
+    o["lock"] = r.u(7)
+    if extended:
+        amb = r.u(8)
+        o["cn0_dbhz"] = r.u(8) * 0.25
+        o["pseudorange_m"] = amb * _MS_RANGE + mod
+    else:
+        o["pseudorange_mod_1ms_m"] = mod
+    r.u(2)
+    d21 = r.s(14)
+    o["pr2_minus_pr1_m"] = None if d21 == -8192 else d21 * 0.02
+    o["phase2_minus_code_m"] = r.s(20) * 5e-4
+    o["lock2"] = r.u(7)
+    if extended:
+        o["cn0_2_dbhz"] = r.u(8) * 0.25
+    return o
+
+
+def encode_mt1003(station_id: int, tow_s: float,
+                  observations: list[RtcmObs]) -> bytes:
+    """GPS L1+L2 basic observables (rtcm.cc print_MT1003)."""
+    w = BitWriter()
+    w.u(12, 1003)
+    w.u(12, station_id)
+    w.u(30, _round(tow_s * 1e3) % 604800000)
+    w.u(1, 0)
+    w.u(5, len(observations))
+    w.u(1, 0).u(3, 0)
+    for ob in observations:
+        _put_gps_dual(w, ob, extended=False)
+    return frame(w.to_bytes())
+
+
+def encode_mt1004(station_id: int, tow_s: float,
+                  observations: list[RtcmObs]) -> bytes:
+    """GPS L1+L2 extended observables (rtcm.cc print_MT1004 :722 — the
+    reference's full-rate legacy GPS message)."""
+    w = BitWriter()
+    w.u(12, 1004)
+    w.u(12, station_id)
+    w.u(30, _round(tow_s * 1e3) % 604800000)
+    w.u(1, 0)
+    w.u(5, len(observations))
+    w.u(1, 0).u(3, 0)
+    for ob in observations:
+        _put_gps_dual(w, ob, extended=True)
+    return frame(w.to_bytes())
+
+
+def _decode_mt1003_1004(payload: bytes) -> dict:
+    r = BitReader(payload)
+    out = {"msgnum": r.u(12), "station_id": r.u(12), "tow_s": r.u(30) / 1e3}
+    extended = out["msgnum"] == 1004
+    r.u(1)
+    n = r.u(5)
+    r.u(4)
+    out["observations"] = [_get_gps_dual(r, extended) for _ in range(n)]
+    return out
+
+
+decode_mt1003 = _decode_mt1003_1004
+decode_mt1004 = _decode_mt1003_1004
+
+
+def encode_mt1012(station_id: int, glonass_tod_s: float,
+                  observations: list[RtcmObs]) -> bytes:
+    """GLONASS L1+L2 extended observables (rtcm.cc print_MT1012 :1407):
+    header carries DF034 (27-bit ms of GLONASS day); per satellite
+    DF038-DF045 + G2 DF046-DF050; DF040 = frequency channel k+7."""
+    w = BitWriter()
+    w.u(12, 1012)
+    w.u(12, station_id)
+    w.u(27, _round(glonass_tod_s * 1e3) % 86400000)
+    w.u(1, 0)
+    w.u(5, len(observations))
+    w.u(1, 0).u(3, 0)
+    for ob in observations:
+        amb = int(ob.pseudorange_m // _MS_RANGE)
+        mod = ob.pseudorange_m - amb * _MS_RANGE
+        diff1 = _wrap_phase_diff(
+            ob.carrier_phase_cycles * ob.wavelength_m, ob.pseudorange_m)
+        w.u(6, ob.prn)              # DF038 slot
+        w.u(1, 0)                   # DF039 code
+        w.u(5, ob.fdma_k + 7)       # DF040
+        w.u(25, _round(mod / 0.02)) # DF041
+        w.s(20, _round(diff1 / 5e-4))
+        w.u(7, _df402_lock(ob.lock_time_s))
+        w.u(7, amb)                 # DF044
+        w.u(8, _round(ob.cn0_dbhz / 0.25))
+        pr2 = ob.pseudorange2_m
+        d21 = 0.0 if pr2 is None else pr2 - ob.pseudorange_m
+        diff2 = _wrap_phase_diff(
+            ob.carrier_phase2_cycles * ob.wavelength2_m, ob.pseudorange_m)
+        w.u(2, 0)                   # DF046
+        w.s(14, -8192 if pr2 is None
+            else max(-8191, min(8191, _round(d21 / 0.02))))
+        w.s(20, _round(diff2 / 5e-4))
+        w.u(7, _df402_lock(ob.lock2_time_s))
+        w.u(8, _round(ob.cn0_2_dbhz / 0.25))
+    return frame(w.to_bytes())
+
+
+def decode_mt1012(payload: bytes) -> dict:
+    r = BitReader(payload)
+    out = {"msgnum": r.u(12), "station_id": r.u(12),
+           "glonass_tod_s": r.u(27) / 1e3}
+    r.u(1)
+    n = r.u(5)
+    r.u(4)
+    obs = []
+    for _ in range(n):
+        o = {"slot": r.u(6)}
+        r.u(1)
+        o["fdma_k"] = r.u(5) - 7
+        mod = r.u(25) * 0.02
+        o["phase_minus_code_m"] = r.s(20) * 5e-4
+        o["lock"] = r.u(7)
+        o["pseudorange_m"] = r.u(7) * _MS_RANGE + mod
+        o["cn0_dbhz"] = r.u(8) * 0.25
+        r.u(2)
+        d21 = r.s(14)
+        o["pr2_minus_pr1_m"] = None if d21 == -8192 else d21 * 0.02
+        o["phase2_minus_code_m"] = r.s(20) * 5e-4
+        o["lock2"] = r.u(7)
+        o["cn0_2_dbhz"] = r.u(8) * 0.25
+        obs.append(o)
     out["observations"] = obs
     return out
 
@@ -544,8 +767,27 @@ class MsmObs:
 # 2**-10 ms (= 292.7 m).
 _MSM_PHASE_SPAN_M = 1171.0
 _MSM_PR_SPAN_M = 292.7
-_SENT_FINE_PR = {4: -16384, 7: -524288}        # DF400 / DF405
-_SENT_FINE_PHASE = {4: -2097152, 7: -8388608}  # DF401 / DF406
+
+# field layout per MSM level (RTCM 10403 Tables 3.5-75..80; rtcm.cc
+# print_MSM_1..7): (DF397 integer-ms, DF399 rough rate + ext-info,
+# fine-pr bits, fine-phase bits, lock bits, cnr bits, DF404 fine rate)
+_MSM_LAYOUT = {
+    1: dict(df397=False, rate=False, pr=15, ph=0, lock=0, cnr=0, frate=False),
+    2: dict(df397=False, rate=False, pr=0, ph=22, lock=4, cnr=0, frate=False),
+    3: dict(df397=False, rate=False, pr=15, ph=22, lock=4, cnr=0,
+            frate=False),
+    4: dict(df397=True, rate=False, pr=15, ph=22, lock=4, cnr=6,
+            frate=False),
+    5: dict(df397=True, rate=True, pr=15, ph=22, lock=4, cnr=6, frate=True),
+    6: dict(df397=True, rate=False, pr=20, ph=24, lock=10, cnr=10,
+            frate=False),
+    7: dict(df397=True, rate=True, pr=20, ph=24, lock=10, cnr=10,
+            frate=True),
+}
+_SENT_FINE_PR = {15: -16384, 20: -524288}        # DF400 / DF405
+_SENT_FINE_PHASE = {22: -2097152, 24: -8388608}  # DF401 / DF406
+_PR_SCALE = {15: 2.0 ** -24, 20: 2.0 ** -29}
+_PH_SCALE = {22: 2.0 ** -29, 24: 2.0 ** -31}
 
 
 def _df402_msm_lock(lock_s: float) -> int:
@@ -580,10 +822,11 @@ def _df407_lock(lock_s: float) -> int:
 
 def encode_msm(system: str, msm: int, station_id: int, epoch_ms: int,
                observations: list[MsmObs]) -> bytes:
-    """Encode MSM4 (msm=4) or MSM7 (msm=7) for one constellation
-    (rtcm.cc print_MSM_4 / print_MSM_7 and get_MSM_header)."""
-    if msm not in (4, 7):
-        raise ValueError("only MSM4 and MSM7 supported")
+    """Encode MSM1-7 for one constellation (rtcm.cc print_MSM_1..7
+    :2862/:3030 and get_MSM_header; field sets per _MSM_LAYOUT)."""
+    lay = _MSM_LAYOUT.get(msm)
+    if lay is None:
+        raise ValueError(f"unknown MSM level {msm}")
     sig_ids = MSM_SIGNAL_ID[system]
     sats = sorted({ob.sat for ob in observations})
     sigs = sorted({sig_ids[ob.signal] for ob in observations})
@@ -605,7 +848,7 @@ def encode_msm(system: str, msm: int, station_id: int, epoch_ms: int,
     for c in cells:
         w.u(1, int(c in cell))
 
-    # satellite data: rough range (+ rough rate for MSM7)
+    # satellite data: rough range (+ ext info / rough rate per layout)
     rough = {}
     for s in sats:
         prs = [ob.pseudorange_m for (sat, _), ob in cell.items()
@@ -614,15 +857,16 @@ def encode_msm(system: str, msm: int, station_id: int, epoch_ms: int,
         # keeping every signal's fine range within the DF400 15-bit span
         total = _round(sum(prs) / len(prs) / _MS_RANGE * 1024)
         ms_int, rough_mod = divmod(total, 1024)
-        rough[s] = (ms_int, rough_mod)
-        w.u(8, ms_int)
-    if msm == 7:
+        rough[s] = (ms_int if lay["df397"] else 0, rough_mod)
+        if lay["df397"]:
+            w.u(8, ms_int)
+    if lay["rate"]:
         for s in sats:
             w.u(4, 0)               # extended satellite info
     for s in sats:
         w.u(10, rough[s][1])
     rough_rate = {}
-    if msm == 7:
+    if lay["rate"]:
         for s in sats:
             rates = [ob.phase_rate_ms for (sat, _), ob in cell.items()
                      if sat == s]
@@ -631,53 +875,69 @@ def encode_msm(system: str, msm: int, station_id: int, epoch_ms: int,
 
     # signal data
     present = [cell[c] for c in cells if c in cell]
-    for ob in present:
-        base = (rough[ob.sat][0] + rough[ob.sat][1] / 1024) * _MS_RANGE
-        fine_m = ob.pseudorange_m - base
-        if abs(fine_m) > _MSM_PR_SPAN_M:
-            raw = _SENT_FINE_PR[msm]
-        else:
-            raw = _round(fine_m / _MS_RANGE / (2**-24 if msm == 4
-                                               else 2**-29))
-        w.s(15 if msm == 4 else 20, raw)
-    for ob in present:
-        base = (rough[ob.sat][0] + rough[ob.sat][1] / 1024) * _MS_RANGE
-        fine_m = ob.phase_range_m - base
-        # integer-cycle alignment: the receiver's accumulated carrier phase
-        # starts at an arbitrary count, so remove whole cycles to bring the
-        # fine phaserange inside the field span (rtcm.cc set_DF401/set_DF406)
-        if ob.wavelength_m > 0.0 and abs(fine_m) > _MSM_PHASE_SPAN_M:
-            fine_m -= round(fine_m / ob.wavelength_m) * ob.wavelength_m
-        if abs(fine_m) > _MSM_PHASE_SPAN_M:
-            raw = _SENT_FINE_PHASE[msm]
-        else:
-            raw = _round(fine_m / _MS_RANGE / (2**-29 if msm == 4
-                                               else 2**-31))
-        w.s(22 if msm == 4 else 24, raw)
-    for ob in present:
-        if msm == 4:
-            w.u(4, _df402_msm_lock(ob.lock_time_s))
-        else:
-            w.u(10, min(_df407_lock(ob.lock_time_s), 1023))
-    for ob in present:
-        w.u(1, 0)                   # half-cycle ambiguity
-    for ob in present:
-        if msm == 4:
-            w.u(6, _round(ob.cn0_dbhz))
-        else:
-            w.u(10, _round(ob.cn0_dbhz / 0.0625))
-    if msm == 7:
+
+    def sat_base(ob):
+        return (rough[ob.sat][0] + rough[ob.sat][1] / 1024) * _MS_RANGE
+
+    if lay["pr"]:
+        for ob in present:
+            fine_m = ob.pseudorange_m - sat_base(ob)
+            if not lay["df397"]:
+                # MSM1-3 carry no integer ms: fine range is vs the
+                # satellite's modulo-1ms rough range
+                fine_m = ((fine_m + _MS_RANGE / 2) % _MS_RANGE
+                          - _MS_RANGE / 2)
+            if abs(fine_m) > _MSM_PR_SPAN_M:
+                raw = _SENT_FINE_PR[lay["pr"]]
+            else:
+                raw = _round(fine_m / _MS_RANGE / _PR_SCALE[lay["pr"]])
+            w.s(lay["pr"], raw)
+    if lay["ph"]:
+        for ob in present:
+            fine_m = ob.phase_range_m - sat_base(ob)
+            if not lay["df397"]:
+                fine_m = ((fine_m + _MS_RANGE / 2) % _MS_RANGE
+                          - _MS_RANGE / 2)
+            # integer-cycle alignment: the receiver's accumulated carrier
+            # phase starts at an arbitrary count, so remove whole cycles to
+            # bring the fine phaserange inside the field span
+            # (rtcm.cc set_DF401/set_DF406)
+            if ob.wavelength_m > 0.0 and abs(fine_m) > _MSM_PHASE_SPAN_M:
+                fine_m -= round(fine_m / ob.wavelength_m) * ob.wavelength_m
+            if abs(fine_m) > _MSM_PHASE_SPAN_M:
+                raw = _SENT_FINE_PHASE[lay["ph"]]
+            else:
+                raw = _round(fine_m / _MS_RANGE / _PH_SCALE[lay["ph"]])
+            w.s(lay["ph"], raw)
+    if lay["lock"]:
+        for ob in present:
+            if lay["lock"] == 4:
+                w.u(4, _df402_msm_lock(ob.lock_time_s))
+            else:
+                w.u(10, min(_df407_lock(ob.lock_time_s), 1023))
+        for ob in present:
+            w.u(1, 0)               # half-cycle ambiguity
+    if lay["cnr"]:
+        for ob in present:
+            if lay["cnr"] == 6:
+                w.u(6, _round(ob.cn0_dbhz))
+            else:
+                w.u(10, _round(ob.cn0_dbhz / 0.0625))
+    if lay["frate"]:
         for ob in present:
             w.s(15, _round((ob.phase_rate_ms - rough_rate[ob.sat]) / 1e-4))
     return frame(w.to_bytes())
 
 
 def decode_msm(payload: bytes) -> dict:
-    """Decode an MSM4/MSM7 payload back into observation dicts."""
+    """Decode an MSM1-7 payload back into observation dicts.  MSM1-3
+    (no DF397) return pseudorange/phase modulo 1 ms of range — resolved
+    with an approximate receiver position, as rtklib does."""
     r = BitReader(payload)
     msgnum = r.u(12)
     base = msgnum - (msgnum % 10)
     msm = msgnum % 10
+    lay = _MSM_LAYOUT[msm]
     system = _SYS_BY_BASE[base]
     out = {"msgnum": msgnum, "system": system, "station_id": r.u(12),
            "epoch_ms": r.u(30)}
@@ -691,27 +951,38 @@ def decode_msm(payload: bytes) -> dict:
     cells = [(s, g) for s in sats for g in sigs]
     mask = [bool(r.u(1)) for _ in cells]
 
-    rough_int = {s: r.u(8) for s in sats}
-    if msm == 7:
+    rough_int = {s: (r.u(8) if lay["df397"] else 0) for s in sats}
+    if lay["rate"]:
         for s in sats:
             r.u(4)
     rough_mod = {s: r.u(10) for s in sats}
     rough_rate = {}
-    if msm == 7:
+    if lay["rate"]:
         rough_rate = {s: r.s(14) for s in sats}
 
     present = [c for c, m in zip(cells, mask) if m]
     n = len(present)
-    raw_pr = [r.s(15 if msm == 4 else 20) for _ in range(n)]
-    raw_ph = [r.s(22 if msm == 4 else 24) for _ in range(n)]
-    fine_pr = [None if v == _SENT_FINE_PR[msm]
-               else v * (2**-24 if msm == 4 else 2**-29) for v in raw_pr]
-    fine_ph = [None if v == _SENT_FINE_PHASE[msm]
-               else v * (2**-29 if msm == 4 else 2**-31) for v in raw_ph]
-    locks = [r.u(4 if msm == 4 else 10) for _ in range(n)]
-    halfs = [r.u(1) for _ in range(n)]
-    cn0s = [r.u(6) * 1.0 if msm == 4 else r.u(10) * 0.0625 for _ in range(n)]
-    rates = [r.s(15) * 1e-4 for _ in range(n)] if msm == 7 else [0.0] * n
+    fine_pr = [None] * n
+    if lay["pr"]:
+        raw = [r.s(lay["pr"]) for _ in range(n)]
+        fine_pr = [None if v == _SENT_FINE_PR[lay["pr"]]
+                   else v * _PR_SCALE[lay["pr"]] for v in raw]
+    fine_ph = [None] * n
+    if lay["ph"]:
+        raw = [r.s(lay["ph"]) for _ in range(n)]
+        fine_ph = [None if v == _SENT_FINE_PHASE[lay["ph"]]
+                   else v * _PH_SCALE[lay["ph"]] for v in raw]
+    locks = [0] * n
+    halfs = [0] * n
+    if lay["lock"]:
+        locks = [r.u(lay["lock"]) for _ in range(n)]
+        halfs = [r.u(1) for _ in range(n)]
+    cn0s = [0.0] * n
+    if lay["cnr"]:
+        cn0s = [r.u(6) * 1.0 if lay["cnr"] == 6 else r.u(10) * 0.0625
+                for _ in range(n)]
+    rates = [r.s(15) * 1e-4 for _ in range(n)] if lay["frate"] \
+        else [0.0] * n
 
     sig_name = {v: k for k, v in MSM_SIGNAL_ID[system].items()}
     obs = []
@@ -726,7 +997,7 @@ def decode_msm(payload: bytes) -> dict:
             "lock": locks[k], "half_cycle": halfs[k],
             "cn0_dbhz": cn0s[k],
             "phase_rate_ms": (rough_rate.get(s, 0) + rates[k])
-            if msm == 7 else 0.0,
+            if lay["frate"] else 0.0,
         })
     out["observations"] = obs
     return out
@@ -762,7 +1033,7 @@ def read_base_observables(stream: bytes, signal: str = "1C"):
             d = decode_mt1005(payload)
             import numpy as np
             base_ecef = np.asarray(d["ecef_m"], dtype=float)
-        elif 1071 <= msgnum <= 1127 and msgnum % 10 in (4, 7):
+        elif 1071 <= msgnum <= 1127 and msgnum % 10 in (4, 5, 6, 7):
             d = decode_msm(payload)
             tow = d["epoch_ms"] * 1e-3
             obs = {}

@@ -199,6 +199,9 @@ class Receiver:
             num_doppler_bins_step2=cfg.num_doppler_bins_step2,
         )
         fs_code_rate = (virtual_rate, spec.code_length_chips * spc_code)
+        self._acq_cfg = acq_cfg
+        self._fs_code_rate = fs_code_rate
+        self._assist_acq = None
         self.acq = PcpsAcquisition(
             acq_cfg, self._codes, fs_code_rate=fs_code_rate,
             freq_offsets_by_prn=self._fdma_offsets,
@@ -411,6 +414,31 @@ class Receiver:
             carrier_freq_hz=self.cfg.spec.carrier_freq_hz)
         self._assist_window_hz = float(window_hz)
         self._assist_prns = set(self._assist)
+        # NARROWED search grid (pcps_assisted_acquisition_cc.cc:188
+        # get_assistance -> d_doppler_min/max, applied BEFORE the search):
+        # each visible PRN's predicted Doppler folds into its stored
+        # replica (the FDMA slot-offset mechanism), so one batched
+        # [+-window] grid searches every satellite's own band — the FFT
+        # count drops by doppler_max/window vs the cold grid
+        vis = sorted(p for p in self._assist if p in self._codes)
+        if vis and self.acq_strategy in ("pcps", "assisted"):
+            import dataclasses as _dc
+
+            # predicted offsets are generally a non-integer number of
+            # carrier cycles per window: the two-period bit_transition
+            # window keeps every kept lag wrap-free (same cure as the
+            # FDMA slot offsets, see __init__)
+            narrow = _dc.replace(
+                self._acq_cfg,
+                doppler_max_hz=max(window_hz,
+                                   2.0 * self._acq_cfg.doppler_step_hz),
+                bit_transition_flag=True)
+            self._assist_acq = PcpsAcquisition(
+                narrow, {p: self._codes[p] for p in vis},
+                fs_code_rate=self._fs_code_rate,
+                freq_offsets_by_prn={
+                    p: self._fdma_offsets.get(p, 0.0)
+                    + self._assist[p]["doppler_hz"] for p in vis})
         return len(self._assist)
 
     def _acquire_and_assign(self, samples_abs_offset: int, samples: np.ndarray) -> None:
@@ -419,30 +447,38 @@ class Receiver:
         idle_channels = [c for c, p in enumerate(self.channel_prn) if p is None]
         if not idle_channels:
             return
+        assist = getattr(self, "_assist", None)
+        acq_prog = self._assist_acq if self._assist_acq is not None else self.acq
         if self._acq_tong:
             res = self.acq.acquire_tong(
                 samples, tong_init=self.cfg.tong_init,
                 tong_max=self.cfg.tong_max,
                 samplestamp=samples_abs_offset)
+            acq_prog = self.acq
         else:
-            res = self.acq.acquire(samples, samplestamp=samples_abs_offset)
+            res = acq_prog.acquire(samples, samplestamp=samples_abs_offset)
+        assisted_grid = acq_prog is self._assist_acq
         tracked = {p for p in self.channel_prn if p is not None}
         pins = self.cfg.channel_satellites
         order = np.argsort(-res.test_stat)
-        assist = getattr(self, "_assist", None)
+        dops = np.array(res.doppler_hz, dtype=np.float64)
+        if assisted_grid:
+            # assisted grid reports the residual vs the predicted Doppler
+            dops = dops + np.array(
+                [assist[p]["doppler_hz"] for p in acq_prog.prns])
         for k in order:
-            prn = self.acq.prns[k]
+            prn = acq_prog.prns[k]
             if not res.positive[k] or prn in tracked:
                 continue
-            if assist is not None:
+            if assist is not None and not assisted_grid:
                 pred = assist.get(prn)
                 if pred is None:
                     continue          # predicted below the horizon
-                if abs(res.doppler_hz[k] - pred["doppler_hz"]) > \
+                if abs(dops[k] - pred["doppler_hz"]) > \
                         self._assist_window_hz:
                     log.info("PRN %d acq doppler %.0f outside assisted "
                              "window around %.0f — rejected", prn,
-                             res.doppler_hz[k], pred["doppler_hz"])
+                             dops[k], pred["doppler_hz"])
                     continue
             if not idle_channels:
                 break
@@ -462,14 +498,14 @@ class Receiver:
                 # (gps_l1_ca_kf_tracking_cc.cc:276-279)
                 self.state = self.trk.activate_channel(
                     self.state, ch, self._slot_of_prn[prn],
-                    float(res.delay_samples[k]), float(res.doppler_hz[k]),
+                    float(res.delay_samples[k]), float(dops[k]),
                     samples_abs_offset, self._pos,
                     doppler_step_hz=self.cfg.doppler_step_hz,
                 )
             else:
                 self.state = self.trk.activate_channel(
                     self.state, ch, self._slot_of_prn[prn],
-                    float(res.delay_samples[k]), float(res.doppler_hz[k]),
+                    float(res.delay_samples[k]), float(dops[k]),
                     samples_abs_offset, self._pos,
                     carr_offset_hz=self._fdma_offsets.get(prn, 0.0),
                 )
@@ -514,10 +550,10 @@ class Receiver:
             self._ledger_prev_start.pop(prn, None)
             self._no_tow_syms[prn] = 0
             self._acq_info[prn] = (float(res.delay_samples[k]),
-                                   float(res.doppler_hz[k]),
+                                   float(dops[k]),
                                    int(res.samplestamp))
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
-                     ch, prn, res.delay_samples[k], res.doppler_hz[k],
+                     ch, prn, res.delay_samples[k], dops[k],
                      res.test_stat[k])
 
     def _harvest(self, outs, block_offset_abs: int, decim: int = 1) -> None:

@@ -354,6 +354,29 @@ def build_scenario(
             else:
                 bits01 = syms01
                 bit_rate_override = 50.0
+        elif signal == "5X":
+            # E5a-I F/NAV: 10 s pages at 50 sps, page types 1-4 cycling so
+            # the ephemeris (+GST) completes in 40 s
+            # (galileo_e5a ICD 4.2; telemetry/fnav.py encode_page).  Each
+            # 20 ms symbol spans 20 primary code periods modulated by the
+            # CS20 secondary — expand to an effective 1 kbps stream like
+            # the L5I NH10 branch above.
+            from ..codes.galileo_e5 import galileo_e5ai_secondary
+            from ..telemetry.fnav import encode_page
+
+            geph5 = _gps_to_galileo(eph)
+            n_pages = int(np.ceil((duration_s + 2.0) / 10.0)) + 2
+            cyc5 = (1, 2, 3, 4)
+            pages = []
+            for k in range(n_pages):
+                geph5.tow = bits_tow0 + 10.0 * k
+                pages.append(encode_page(cyc5[k % 4], geph5))
+            syms01 = np.concatenate(pages)
+            d = np.repeat(1.0 - 2.0 * syms01, 20)
+            cs = np.tile(np.asarray(galileo_e5ai_secondary(),
+                                    dtype=np.float64), len(syms01))
+            bits01 = (1.0 - d * cs) / 2.0
+            bit_rate_override = 1000.0
         elif signal == "1G":
             # GNAV 30 s frames of 15 strings (2 s each): strings 1-4 carry
             # the ephemeris, 5-15 are filler (almanac slots); string 1

@@ -256,7 +256,10 @@ class CnavDecoder:
 
     def _process(self) -> None:
         n = len(self._soft)
-        if n < 2 * CNAV_MSG_BITS + 64 or n - self._decoded_until < 600:
+        # re-decode cadence: 150 symbols (not a full 600-symbol message —
+        # that left the stream TAIL unprocessed in segment-cadence feeds,
+        # silently dropping the last message type; round-5 L5 diagnosis)
+        if n < 2 * CNAV_MSG_BITS + 64 or n - self._decoded_until < 150:
             return
         soft = np.asarray(self._soft, dtype=np.uint8)
         for phase in (0, 1):

@@ -1191,9 +1191,16 @@ class TrackingEngine:
     @property
     def capture_decim(self) -> int:
         """Decimation of the loop-state rows in packed capture outputs.
-        4 epochs (~4 ms) keeps the observables-grid state fresh through
-        mode transitions (8 ms nudged the BeiDou system test over the 5 m
-        bar) while still shrinking the readback ~2x."""
+        4 epochs (~4 ms at 1 ms codes) keeps the observables-grid state
+        fresh through mode transitions (8 ms nudged the BeiDou system test
+        over the 5 m bar) while still shrinking the readback ~2x.
+        (Round-5 A/B on the dual-band L2CM scenario: decim 1 on 20 ms
+        codes REGRESSED the joint fix ~2x — the 4-epoch grid's entering-
+        state sampling is the better observable; keep 4 regardless of the
+        code period, overridable via `capture_decim_override`.)"""
+        override = getattr(self, "capture_decim_override", None)
+        if override:
+            return int(override)
         d = 4
         while self._chunk_epochs % d and d > 1:
             d //= 2

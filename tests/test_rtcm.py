@@ -133,6 +133,156 @@ def test_mt1002_roundtrip():
         assert abs(o["cn0_dbhz"] - ob.cn0_dbhz) < 0.25
 
 
+def test_mt1005_external_fixture():
+    """Decode the RTCM 10403 standard's own MT1005 test message — the byte
+    fixture the reference asserts against (rtcm_test.cc:242
+    read_MT1005(hex_to_bin("D300133ED7D3...")) -> station 2003, ECEF
+    1114104.5999 / -4850729.7108 / 3975521.4643).  External fixture, not a
+    self round-trip (VERDICT r4 #7)."""
+    raw = bytes.fromhex("D300133ED7D30202980EDEEF34B4BD62AC0941986F33360B98")
+    msgnum, payload = rtcm.deframe(raw)
+    assert msgnum == 1005
+    d = rtcm.decode_mt1005(payload)
+    assert d["station_id"] == 2003
+    np.testing.assert_allclose(
+        d["ecef_m"], [1114104.5999, -4850729.7108, 3975521.4643], atol=1e-4)
+
+
+def test_mt1001_roundtrip():
+    obs = [rtcm.RtcmObs(prn=p, pseudorange_m=2.1e7 + p * 1000.0,
+                        carrier_phase_cycles=-(2.1e7 + p * 1000.0) / 0.1903,
+                        lock_time_s=40.0) for p in (3, 14)]
+    f = rtcm.encode_mt1001(77, 345601.0, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1001
+    d = rtcm.decode_mt1001(payload)
+    assert d["tow_s"] == pytest.approx(345601.0)
+    for o, ob in zip(d["observations"], obs):
+        assert o["prn"] == ob.prn
+        assert abs(o["pseudorange_mod_1ms_m"]
+                   - ob.pseudorange_m % rtcm._MS_RANGE) < 0.02
+
+
+@pytest.mark.parametrize("mt", [1003, 1004])
+def test_mt1003_mt1004_dual_band_roundtrip(mt):
+    lam2 = rtcm.SPEED_OF_LIGHT / 1227.60e6
+    obs = []
+    for p in (3, 14, 22):
+        pr = 2.1e7 + p * 1000.0
+        obs.append(rtcm.RtcmObs(
+            prn=p, pseudorange_m=pr,
+            carrier_phase_cycles=-(pr + 0.3) / 0.1903,
+            lock_time_s=100.0, cn0_dbhz=44.5,
+            pseudorange2_m=pr + 2.5,
+            carrier_phase2_cycles=-(pr + 0.8) / lam2,
+            lock2_time_s=60.0, cn0_2_dbhz=39.25))
+    enc = rtcm.encode_mt1003 if mt == 1003 else rtcm.encode_mt1004
+    f = enc(505, 123.0, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == mt
+    d = rtcm.decode_mt1004(payload)
+    for o, ob in zip(d["observations"], obs):
+        assert o["prn"] == ob.prn
+        assert abs(o["pr2_minus_pr1_m"] - 2.5) < 0.02
+        if mt == 1004:
+            assert abs(o["pseudorange_m"] - ob.pseudorange_m) < 0.02
+            assert o["cn0_dbhz"] == pytest.approx(44.5, abs=0.25)
+            assert o["cn0_2_dbhz"] == pytest.approx(39.25, abs=0.25)
+
+
+def test_mt1012_glonass_dual_band_roundtrip():
+    lam1 = rtcm.SPEED_OF_LIGHT / 1602.0e6
+    obs = [rtcm.RtcmObs(
+        prn=s, pseudorange_m=1.9e7 + s * 777.0, fdma_k=k,
+        carrier_phase_cycles=-(1.9e7 + s * 777.0) / lam1,
+        lock_time_s=50.0, cn0_dbhz=42.0,
+        pseudorange2_m=1.9e7 + s * 777.0 - 1.2)
+        for s, k in ((5, -3), (11, 2))]
+    f = rtcm.encode_mt1012(88, 4321.0, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1012
+    d = rtcm.decode_mt1012(payload)
+    assert d["glonass_tod_s"] == pytest.approx(4321.0)
+    for o, ob in zip(d["observations"], obs):
+        assert o["slot"] == ob.prn
+        assert o["fdma_k"] == ob.fdma_k
+        assert abs(o["pseudorange_m"] - ob.pseudorange_m) < 0.02
+        assert abs(o["pr2_minus_pr1_m"] + 1.2) < 0.02
+
+
+@pytest.mark.parametrize("msm", [5, 6])
+def test_msm5_msm6_roundtrip(msm):
+    """MSM5 (fine rates, 4-bit locks) and MSM6 (extended-resolution
+    ranges/CNR, no rates) — rtcm.cc print_MSM_5/print_MSM_6
+    (:2862/:3030)."""
+    obs = []
+    for k, sat in enumerate((4, 9)):
+        pr = 2.3e7 + sat * 3333.0
+        obs.append(rtcm.MsmObs(sat=sat, signal="1C", pseudorange_m=pr,
+                               phase_range_m=pr + 0.7,
+                               phase_rate_ms=-411.25 + 13 * k,
+                               lock_time_s=120.0, cn0_dbhz=41.0 + k))
+    f = rtcm.encode_msm("GPS", msm, 99, 345600123, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1070 + msm
+    d = rtcm.decode_msm(payload)
+    got = {o["sat"]: o for o in d["observations"]}
+    pr_tol = 0.3 if msm == 5 else 0.01
+    for ob in obs:
+        o = got[ob.sat]
+        assert abs(o["pseudorange_m"] - ob.pseudorange_m) < pr_tol
+        assert abs(o["phase_range_m"] - ob.phase_range_m) < 0.01
+        if msm == 5:
+            assert abs(o["phase_rate_ms"] - ob.phase_rate_ms) < 1e-3
+            assert abs(o["cn0_dbhz"] - ob.cn0_dbhz) <= 0.5
+        else:
+            assert o["phase_rate_ms"] == 0.0
+            assert abs(o["cn0_dbhz"] - ob.cn0_dbhz) < 0.0625
+
+
+@pytest.mark.parametrize("msm", [1, 2, 3])
+def test_msm123_compact_roundtrip(msm):
+    """MSM1-3 carry no DF397 integer milliseconds: ranges come back modulo
+    1 ms of range, resolved downstream with an approximate position (as
+    rtklib's msm decoders do)."""
+    pr = 2.3e7 + 3333.0
+    obs = [rtcm.MsmObs(sat=4, signal="1C", pseudorange_m=pr,
+                       phase_range_m=pr + 0.7, lock_time_s=40.0)]
+    f = rtcm.encode_msm("GPS", msm, 12, 1000, obs)
+    msgnum, payload = rtcm.deframe(f)
+    assert msgnum == 1070 + msm
+    d = rtcm.decode_msm(payload)
+    o = d["observations"][0]
+    ms = rtcm._MS_RANGE
+    if msm in (1, 3):
+        assert abs((o["pseudorange_m"] - pr) % ms) < 0.3 \
+            or abs((o["pseudorange_m"] - pr) % ms - ms) < 0.3
+    else:
+        assert o["pseudorange_m"] is None
+    if msm in (2, 3):
+        assert o["phase_range_m"] is not None
+        assert abs((o["phase_range_m"] - (pr + 0.7)) % ms) < 0.01 \
+            or abs((o["phase_range_m"] - (pr + 0.7)) % ms - ms) < 0.01
+    else:
+        assert o["phase_range_m"] is None
+
+
+def test_read_base_observables_accepts_msm5():
+    """--base_obs MSM5 stream (VERDICT r4 #7 acceptance)."""
+    pr = 2.2e7
+    lam = rtcm.SPEED_OF_LIGHT / 1575.42e6
+    obs = [rtcm.MsmObs(sat=9, signal="1C", pseudorange_m=pr,
+                       phase_range_m=pr + 0.4, wavelength_m=lam)]
+    stream = (rtcm.encode_mt1005(7, (1114104.6, -4850729.7, 3975521.5))
+              + rtcm.encode_msm("GPS", 5, 7, 222000, obs))
+    base_ecef, epochs = rtcm.read_base_observables(stream, signal="1C")
+    assert base_ecef is not None
+    assert len(epochs) == 1
+    tow, od = epochs[0]
+    assert tow == pytest.approx(222.0)
+    assert abs(od[9].pseudorange_m - pr) < 0.3
+
+
 @pytest.mark.parametrize("msm", [4, 7])
 @pytest.mark.parametrize("system,signals", [
     ("GPS", ["1C", "2S"]), ("Galileo", ["1B", "5X"]),

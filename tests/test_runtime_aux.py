@@ -301,6 +301,68 @@ def test_assisted_acquisition_gates_assignment(short_capture):
     assert rx3.channel_prn[0] is None
 
 
+def test_assisted_acquisition_narrows_grid(short_capture):
+    """Assistance narrows the SEARCH GRID itself (not a post-filter):
+    pcps_assisted_acquisition_cc.cc:188 get_assistance sets
+    d_doppler_min/max BEFORE searching.  The assisted program's Doppler
+    bin count (and so its FFT count) drops ~grid/window, and the found
+    satellite carries the full (predicted + residual) Doppler."""
+    from gnss_sdr_1_tpu.runtime.receiver import Receiver, ReceiverConfig
+
+    fs, x = short_capture
+    cfg = ReceiverConfig(fs_hz=fs, signal_id="1C", n_channels=1,
+                         prn_search=(7,), watchdog_symbols=0,
+                         doppler_max_hz=5000.0, doppler_step_hz=250.0)
+    rx = Receiver(cfg)
+    # hand-built prediction 80 Hz off the true 1200 Hz (well inside the
+    # 18 Hz PLL pull-in after the two-step refinement)
+    rx._assist = {7: {"doppler_hz": 1280.0}}
+    rx._assist_window_hz = 500.0
+    rx._assist_prns = {7}
+    import dataclasses as dc
+
+    # bit_transition (two-period window): the predicted offset is a
+    # non-integer number of cycles per window (see set_assistance)
+    narrow = dc.replace(rx._acq_cfg, doppler_max_hz=500.0,
+                        bit_transition_flag=True)
+    from gnss_sdr_1_tpu.acquire import PcpsAcquisition
+
+    rx._assist_acq = PcpsAcquisition(
+        narrow, {7: rx._codes[7]}, fs_code_rate=rx._fs_code_rate,
+        freq_offsets_by_prn={7: 1280.0})
+    # >= 5x fewer Doppler bins -> >= 5x fewer acquisition FFTs
+    assert rx.acq.cfg.num_doppler_bins >= 5 * narrow.num_doppler_bins
+    rx.process(x[: int(fs)])
+    assert rx.channel_prn[0] == 7
+    # engine Doppler seeded near truth (residual + prediction)
+    dop = float(np.asarray(rx.state.carrier_doppler_hz)[0])
+    assert abs(dop - 1200.0) < 60.0, dop
+
+
+def test_set_assistance_builds_narrow_program(short_capture):
+    """set_assistance() with real ephemerides installs the narrowed
+    program automatically and predicts visibility."""
+    from gnss_sdr_1_tpu.runtime.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_1_tpu.siggen.scenario import build_scenario
+
+    fs, _x = short_capture
+    rx_ecef = llh_to_ecef(np.radians(41.275), np.radians(1.988), 80.0)
+    scen = build_scenario(rx_ecef, [7], t0_tow=345601.25, duration_s=1.0,
+                          cn0_dbhz=47.0)
+    cfg = ReceiverConfig(fs_hz=fs, signal_id="1C", n_channels=1,
+                         prn_search=(7,))
+    rx = Receiver(cfg)
+    n = rx.set_assistance(scen.ephemerides, rx_ecef, 345601.25,
+                          window_hz=600.0)
+    assert n == 1
+    assert rx._assist_acq is not None
+    assert rx._assist_acq.cfg.doppler_max_hz == 600.0
+    assert rx._assist_acq.prns == [7]
+    # predicted Doppler folded into the replica offset
+    assert rx._assist_acq.freq_offsets[7] == pytest.approx(
+        rx._assist[7]["doppler_hz"])
+
+
 def test_rinex_multiconstellation_nav_roundtrip(tmp_path):
     """RINEX 3.02 nav printer/reader round-trip for all four systems
     (rinex_printer.cc:964,1186 <-> rinex2assist)."""

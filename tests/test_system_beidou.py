@@ -63,10 +63,18 @@ def beidou_run():
     # true delay then spans exactly one transmitted code period (one NH
     # chip, constant sign).  This is the reference's B1I acquisition cure
     # (pcps_acquisition.cc set_local_code :239-273).
+    # narrow correlator (0.2 chip E-L) kills the cross-correlation-induced
+    # DLL biases of the 5-equal-power-satellite scene (round-5 diagnosis:
+    # +-3-4 m deterministic per-sat biases with 0.5-chip spacing, present
+    # noise-free; 0.2 chips -> median 3D ~1 m), and the finer second-step
+    # Doppler grid keeps the handoff inside the 18 Hz PLL's pull-in range
+    # (the early lock-drop/reacquire cycles were pull-in failures)
     cfg = ReceiverConfig(
         fs_hz=FS, signal_id="B1", n_channels=5, prn_search=tuple(prns),
         acq_dwells=3, acq_bit_transition=True,
-        pll_bw_hz=18.0, dll_bw_hz=2.0)
+        pll_bw_hz=18.0, dll_bw_hz=2.0,
+        early_late_space_chips=0.2,
+        doppler_step2_hz=15.0, num_doppler_bins_step2=40)
     rx = Receiver(cfg)
     sols = rx.process(x)
     return scen, rx, sols

@@ -40,7 +40,12 @@ def galileo_run():
         GALILEO_E1B, code_rate_chips_s=2.046e6, code_length_chips=2 * 4092,
         bit_rate_bps=250.0)
     codes = {p: tracking_replica("1B", p)[0] for p in prns}
-    x = generate_baseband(spec, scen.sats, codes, FS, DURATION, noise=True)
+    from conftest import cached_capture
+
+    x = cached_capture(
+        f"sysgal_{FS:.0f}_{DURATION:.0f}_v1",
+        lambda: generate_baseband(spec, scen.sats, codes, FS, DURATION,
+                                  noise=True))
     cfg = ReceiverConfig(
         fs_hz=FS, signal_id="1B", n_channels=5, prn_search=tuple(prns),
         acq_dwells=3, pll_bw_hz=15.0, dll_bw_hz=2.0)

@@ -43,16 +43,21 @@ def mixed_run():
                             chip_rate=2.046e6, signal="1B")
     # both signals share the 1575.42 MHz band: one baseband stream carries
     # the sum (noise added once)
-    x = generate_baseband(
-        GPS_L1_CA, scen_g.sats, {p: gps_l1ca_code(p) for p in gps_prns},
-        FS, DURATION, noise=True)
-    spec_e = dataclasses.replace(
-        GALILEO_E1B, code_rate_chips_s=2.046e6, code_length_chips=2 * 4092,
-        bit_rate_bps=250.0)
-    x = x + generate_baseband(
-        spec_e, scen_e.sats,
-        {p: tracking_replica("1B", p)[0] for p in gal_prns},
-        FS, DURATION, noise=False)
+    from conftest import cached_capture
+
+    def _build():
+        x = generate_baseband(
+            GPS_L1_CA, scen_g.sats, {p: gps_l1ca_code(p) for p in gps_prns},
+            FS, DURATION, noise=True)
+        spec_e = dataclasses.replace(
+            GALILEO_E1B, code_rate_chips_s=2.046e6,
+            code_length_chips=2 * 4092, bit_rate_bps=250.0)
+        return x + generate_baseband(
+            spec_e, scen_e.sats,
+            {p: tracking_replica("1B", p)[0] for p in gal_prns},
+            FS, DURATION, noise=False)
+
+    x = cached_capture(f"sysmixed_{FS:.0f}_{DURATION:.0f}_v1", _build)
 
     conf = InMemoryConfiguration({
         "GNSS-SDR.internal_fs_sps": str(FS),
@@ -116,16 +121,26 @@ def test_dual_band_l1_l2c_joint(tmp_path):
                             cn0_dbhz=47.0, subframe_cycle=(1, 2, 3))
     scen_2 = build_scenario(RX_ECEF, prns, t0_tow=345601.25, duration_s=dur,
                             cn0_dbhz=47.0, signal="2S")
-    x1 = generate_baseband(
-        GPS_L1_CA, scen_1.sats, {p: gps_l1ca_code(p) for p in prns},
-        fs2, dur, noise=True)
+    from conftest import cached_capture
+
+    x1 = cached_capture(
+        f"dual_l1_{fs2:.0f}_{dur:.0f}_v1",
+        lambda: generate_baseband(
+            GPS_L1_CA, scen_1.sats, {p: gps_l1ca_code(p) for p in prns},
+            fs2, dur, noise=True))
     codes2 = {p: tracking_replica("2S", p)[0] for p in prns}
-    x2 = generate_baseband(GPS_L2C, scen_2.sats, codes2, fs2, dur,
-                           noise=True)
+    x2 = cached_capture(
+        f"dual_l2_{fs2:.0f}_{dur:.0f}_v1",
+        lambda: generate_baseband(GPS_L2C, scen_2.sats, codes2, fs2, dur,
+                                  noise=True))
 
     from gnss_sdr_1_tpu.runtime import ReceiverConfig
+    # 4 s Hatch windows: the L2 band's code noise (interpolated from the
+    # 80 ms capture grid) dominated the joint fix; round-5 A/B:
+    # sm=25 -> 6.9 m conv-half median, sm=200 -> 2.8 m, sm=400 -> 2.1 m
     cfg1 = ReceiverConfig(fs_hz=fs2, signal_id="1C", n_channels=4,
-                          prn_search=tuple(prns))
+                          prn_search=tuple(prns),
+                          carrier_smoothing_epochs=200)
     # L2CM: 20 ms coherent acquisition needs a ~1/(2T) Doppler grid (the
     # 1 ms default of 250 Hz nulls most satellites) and the narrow fine
     # step keeps the handoff inside the 4 Hz PLL's pull-in range
@@ -135,7 +150,8 @@ def test_dual_band_l1_l2c_joint(tmp_path):
                           doppler_max_hz=3000.0, doppler_step_hz=50.0,
                           acq_threshold=1.6,
                           doppler_step2_hz=4.0,
-                          num_doppler_bins_step2=50)
+                          num_doppler_bins_step2=50,
+                          carrier_smoothing_epochs=200)
     mrx = MultiReceiver([cfg1, cfg2])
     sols = mrx.process([x1, x2])
     rx2 = mrx.receivers[1]

@@ -318,9 +318,13 @@ def _bench_e2e() -> tuple[float, int]:
         np.save(key, x)
 
     def make_rx():
+        # file-replay posture: long device segments (5 s) amortize the
+        # per-call dispatch, PVT at the reference's common 100 ms output
+        # cadence (PVT.output_rate_ms; observables still form at 20 ms)
         return Receiver(ReceiverConfig(
             fs_hz=fs, signal_id="1C", n_channels=len(prns),
-            prn_search=tuple(prns)))
+            prn_search=tuple(prns), reacq_interval_blocks=125,
+            pvt_output_rate_ms=100))
 
     warm = make_rx()           # compile warmup (programs cached after this)
     warm.preload(x)

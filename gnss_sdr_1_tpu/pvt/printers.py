@@ -114,7 +114,10 @@ def rinex_obs_header(marker: str = "GNSS_SDR_1_TPU",
         for sysl in sorted(by_sys):
             codes = by_sys[sysl]
             body = " ".join(codes)
-            out.write(f"{sysl}  {len(codes):4d} {body:<52}"
+            # A1, 2X, I3, 13(1X, A3) — RINEX 3.02 Table A5 (the round-4
+            # self-round-trip couldn't see this column; caught by the
+            # spec-based layout validator, tests/test_rinex_format.py)
+            out.write(f"{sysl}  {len(codes):3d} {body:<53}"
                       "SYS / # / OBS TYPES\n")
     if interval_s is not None:
         out.write(f"{interval_s:10.3f}{'':50}INTERVAL\n")

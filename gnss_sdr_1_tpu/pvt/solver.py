@@ -118,20 +118,27 @@ def _estimate(
     atm = np.zeros(n)
     w = np.ones(n)
 
+    # Satellite states are iteration-invariant: t_tx = rx_tow - bias - tau
+    # with tau = pr/c - bias, so the bias cancels exactly (the pseudorange
+    # tag carries the same receiver clock) — evaluate the ephemerides ONCE
+    # per epoch, as rtklib satposs does, and redo only the cheap Sagnac
+    # rotation per iteration (its flight time does depend on the bias).
+    sat_pos_raw = np.zeros((n, 3))
+    for i, p in enumerate(prns):
+        eph = ephemerides[p]
+        t_tx = rx_tow_s - pr[i] / SPEED_OF_LIGHT_M_S
+        clk = sat_clock(eph, t_tx)
+        t_tx -= clk  # broadcast time -> GPS time
+        pos, vel = sat_pos_vel(eph, t_tx)
+        sat_pos_raw[i] = pos
+        sat_vel[i] = vel
+        sat_clk[i] = sat_clock(eph, t_tx)
+
     for _ in range(max_iter):
         for i, p in enumerate(prns):
-            eph = ephemerides[p]
             bias_i = biases[sys_col[systems.get(p, "G")] - 3]
-            # signal flight time: remove this system's receiver clock bias
-            # estimate from the raw pseudorange
             tau = pr[i] / SPEED_OF_LIGHT_M_S - bias_i
-            t_tx = rx_tow_s - bias_i - tau
-            clk = sat_clock(eph, t_tx)
-            t_tx -= clk  # broadcast time -> GPS time
-            pos, vel = sat_pos_vel(eph, t_tx)
-            sat_pos[i] = _rotate_earth(pos, tau + clk)
-            sat_vel[i] = vel
-            sat_clk[i] = sat_clock(eph, t_tx)
+            sat_pos[i] = _rotate_earth(sat_pos_raw[i], tau + sat_clk[i])
         rho = np.linalg.norm(sat_pos - xyz, axis=1)
         los = (xyz - sat_pos) / rho[:, None]
         h[:] = 0.0

@@ -259,6 +259,8 @@ def to_receiver_config(conf: InMemoryConfiguration,
             "PVT.trop_model", "OFF")).lower().startswith("saas") else "off"),
         elevation_mask_deg=float(conf.property("PVT.elevation_mask", 5.0)),
         positioning_mode=str(conf.property("PVT.positioning_mode", "Single")),
+        # PVT.output_rate_ms (rtklib_pvt_gs output cadence); 0 = every tick
+        pvt_output_rate_ms=int(conf.property("PVT.output_rate_ms", 0)),
         # monitor taps (GNSS-SDR.enable_monitor + Monitor.*, PVT.enable_
         # monitor — gnss_flowgraph.cc:680, rtklib_pvt.cc monitor config)
         enable_monitor=bool(conf.property("GNSS-SDR.enable_monitor", False)),

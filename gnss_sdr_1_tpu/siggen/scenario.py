@@ -366,7 +366,10 @@ def build_scenario(
 
             geph5 = _gps_to_galileo(eph)
             n_pages = int(np.ceil((duration_s + 2.0) / 10.0)) + 2
-            cyc5 = (1, 2, 3, 4)
+            # page order override via subframe_cycle (e.g. (4,1,2,3) lets a
+            # receiver starting mid-page-0 complete pages 1-4 by t+40 s)
+            cyc5 = tuple(t for t in subframe_cycle
+                         if 1 <= t <= 4) or (1, 2, 3, 4)
             pages = []
             for k in range(n_pages):
                 geph5.tow = bits_tow0 + 10.0 * k

@@ -28,15 +28,37 @@ _MIN_TRANSITIONS = 10
 
 
 class SymbolBatch:
-    """Simple per-channel accumulator of (prompt_I, start_sample) epochs."""
+    """Per-channel accumulator of (prompt_I, start_sample) epochs.
+
+    Amortized-growth numpy buffers: the decoder re-reads the whole stream
+    on every push (bit sums, preamble hunts), so list->array conversion
+    per push was O(n^2) across a run."""
 
     def __init__(self) -> None:
-        self.prompt_i: list[float] = []
-        self.start_samples: list[int] = []
+        self._buf_i = np.empty(4096, dtype=np.float64)
+        self._buf_s = np.empty(4096, dtype=np.int64)
+        self._n = 0
+
+    @property
+    def prompt_i(self) -> np.ndarray:
+        return self._buf_i[: self._n]
+
+    @property
+    def start_samples(self) -> np.ndarray:
+        return self._buf_s[: self._n]
 
     def extend(self, prompt_i, start_samples) -> None:
-        self.prompt_i.extend(np.asarray(prompt_i, dtype=np.float64))
-        self.start_samples.extend(np.asarray(start_samples, dtype=np.int64))
+        p = np.asarray(prompt_i, dtype=np.float64)
+        s = np.asarray(start_samples, dtype=np.int64)
+        m = len(p)
+        while self._n + m > len(self._buf_i):
+            self._buf_i = np.concatenate(
+                [self._buf_i, np.empty(len(self._buf_i), np.float64)])
+            self._buf_s = np.concatenate(
+                [self._buf_s, np.empty(len(self._buf_s), np.int64)])
+        self._buf_i[self._n : self._n + m] = p
+        self._buf_s[self._n : self._n + m] = s
+        self._n += m
 
 
 class LnavDecoder:

@@ -179,3 +179,41 @@ def test_kf_receiver_end_to_end_fix():
     # the KF tracker runs wide 1 ms epochs (no extended mode); hold it to
     # the reference's static 3D bar
     assert np.median(e3d) < 5.0, f"median 3D error {np.median(e3d):.2f} m"
+
+
+def test_kf_tracks_boc_signal():
+    """KF tracking on Galileo E1 (sinBOC): the engine runs in the VIRTUAL
+    half-chip basis (replica at virtual_rate, code_length*spc), lifting the
+    round-4 GPS-L1-only restriction — conf-selectable KF now covers BOC
+    channels too (Galileo_E1_KF-style configuration)."""
+    import dataclasses
+
+    from gnss_sdr_1_tpu.codes import tracking_replica
+    from gnss_sdr_1_tpu.constants import GALILEO_E1B
+    from gnss_sdr_1_tpu.runtime import Receiver, ReceiverConfig
+    from gnss_sdr_1_tpu.siggen.generator import SatParams, generate_baseband
+
+    fs = 4.0e6
+    prn = 5
+    code, virtual_rate, spc = tracking_replica("1B", prn)
+    spec = dataclasses.replace(
+        GALILEO_E1B, code_rate_chips_s=2.046e6, code_length_chips=2 * 4092,
+        bit_rate_bps=250.0)
+    true_dop = -1234.0
+    x = generate_baseband(
+        spec, [SatParams(prn=prn, doppler_hz=true_dop, delay_chips=1000.25,
+                         cn0_dbhz=48.0)],
+        {prn: code}, fs, 3.0, noise=True, seed=11)
+    cfg = ReceiverConfig(fs_hz=fs, signal_id="1B", n_channels=1,
+                         prn_search=(prn,), track_engine="kf",
+                         acq_dwells=3, watchdog_symbols=0)
+    rx = Receiver(cfg)
+    assert rx.trk_kind == "kf"
+    # virtual basis: 4092 E1B chips x sinBOC half-chip factor
+    assert rx.trk.cfg.code_length_chips == 2 * 4092
+    assert rx.trk.cfg.chip_rate_chips_s == pytest.approx(virtual_rate)
+    rx.process(x)
+    assert rx.channel_prn[0] == prn, "KF lost the BOC channel"
+    # KF state x[:, 1] is the carrier Doppler [Hz]
+    dop = float(np.asarray(rx.state.x)[0, 1])
+    assert abs(dop - true_dop) < 25.0, dop

@@ -59,6 +59,12 @@ class PppConfig:
     # product use its interpolated orbits/clocks instead of broadcast —
     # rtklib satposs' EPHOPT_PREC branch (rtklib_preceph.cc peph2pos)
     precise: object | None = None
+    # IONEX TEC grids (pvt.ionex.TecProduct): replaces Klobuchar on the
+    # single-frequency code rows (rtklib iontec, IONOOPT_TEC)
+    tec: object | None = None
+    # solid-earth tides: GPS week enables the antenna displacement model
+    # (pvt.tides.tide_displacement; rtklib tidedisp behind opt_tidecorr)
+    tides_week: int | None = None
     # cycle-slip detector: jump in (L - P) between consecutive epochs [m]
     slip_threshold_m: float = 3.0
     max_iter: int = 6
@@ -244,6 +250,13 @@ def solve_ppp(
         rows_a, rows_r, rows_w = [], [], []
         for k, (tow, obs) in enumerate(use):
             xk = x_pos[k] if kinematic else x_pos
+            if cfg.tides_week is not None:
+                # solid-earth tide displacement of the antenna: the
+                # MODELED geometry uses the displaced position; the
+                # estimated x stays the mean (tide-free) position
+                from .tides import tide_displacement
+
+                xk = xk + tide_displacement(cfg.tides_week, tow, xk)
             lat, lon, hgt = ecef_to_llh(xk)
             dry = (_dry_ztd_m(lat, hgt)
                    if cfg.trop_model == "saastamoinen" else 0.0)
@@ -284,9 +297,15 @@ def solve_ppp(
                     rows_r.append(l_if - (base + amb[j]))
                     rows_w.append(w_phase / m)
                 else:
-                    # Klobuchar-corrected code (fixes the clock datum)
+                    # iono-corrected code (fixes the clock datum): IONEX
+                    # TEC grid when supplied (rtklib IONOOPT_TEC),
+                    # broadcast Klobuchar otherwise
                     ic = 0.0
-                    if cfg.iono is not None:
+                    if cfg.tec is not None:
+                        d = cfg.tec.delay_m(tow, lat, lon, az, el,
+                                            cfg.f1_hz)
+                        ic = d if d is not None else 0.0
+                    elif cfg.iono is not None:
                         ic = klobuchar_delay_m(cfg.iono, lat, lon, az, el,
                                                tow, cfg.f1_hz)
                     row = new_row()

@@ -5,6 +5,9 @@ coherence, Doppler-rate estimation (order 3), NIW covariance adaptation."""
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import gps_l1ca_code
 from gnss_sdr_1_tpu.constants import GPS_L1_CA
 from gnss_sdr_1_tpu.siggen import SatParams, generate_baseband

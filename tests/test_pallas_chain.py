@@ -8,6 +8,9 @@ the compiled Mosaic path is exercised by bench.py on the TPU."""
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import gps_l1ca_code
 from gnss_sdr_1_tpu.constants import GPS_L1_CA
 from gnss_sdr_1_tpu.ops.pallas_chain import atan2_f32, atan_f32

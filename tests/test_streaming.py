@@ -8,6 +8,9 @@ import pathlib
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import gps_l1ca_code
 from gnss_sdr_1_tpu.constants import GPS_L1_CA
 from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef

@@ -12,6 +12,9 @@ import dataclasses
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import BEIDOU_NH20, beidou_b1i_code
 from gnss_sdr_1_tpu.constants import BEIDOU_B1I
 from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef

@@ -9,6 +9,9 @@ ephemeris + GST complete within ~12 s of page sync.
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import tracking_replica
 from gnss_sdr_1_tpu.constants import GALILEO_E1B
 from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef

@@ -15,6 +15,9 @@ import pathlib
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import glonass_ca_code
 from gnss_sdr_1_tpu.constants import FREQ_G1_GLO, GLONASS_L1_CA
 from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef

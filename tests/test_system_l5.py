@@ -14,6 +14,9 @@ Captures are cached; the first generation is several minutes.
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from conftest import cached_capture
 from gnss_sdr_1_tpu.codes import tracking_replica
 from gnss_sdr_1_tpu.constants import GALILEO_E5A, GPS_L5

@@ -17,6 +17,9 @@ import dataclasses
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import gps_l1ca_code, tracking_replica
 from gnss_sdr_1_tpu.constants import GALILEO_E1B, GPS_L1_CA
 from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef

@@ -11,6 +11,9 @@ position_test.cc:588): static 2D CEP < 2 m, 3D < 5 m.
 import numpy as np
 import pytest
 
+import pytest as _pytest_mark
+pytestmark = _pytest_mark.mark.slow
+
 from gnss_sdr_1_tpu.codes import gps_l1ca_code
 from gnss_sdr_1_tpu.constants import GPS_L1_CA
 from gnss_sdr_1_tpu.pvt.geodesy import ecef_to_enu, llh_to_ecef

@@ -139,8 +139,9 @@ _BLOCKS = [
     _trk("GPS_L1_CA_KF_Tracking", "1C", "kf",
          note="track.kf.KfTrackingEngine"),
     _trk("GPS_L1_CA_TCP_CONNECTOR_Tracking", "1C", "tcp_connector",
-         status="hardware",
-         note="external loop-closure process (MATLAB/Simulink)"),
+         note="track.tcp_connector: external loop closure over TCP "
+              "(JSON protocol; LoopClosureServer is the in-repo "
+              "controller template)"),
     _trk("GPS_L2_M_DLL_PLL_Tracking", "2S"),
     _trk("GPS_L2_M_DLL_PLL_Tracking_Fpga", "2S", "dll_pll", "collapsed"),
     _trk("GPS_L5_DLL_PLL_Tracking", "L5"),
@@ -150,7 +151,7 @@ _BLOCKS = [
     _trk("Galileo_E1_DLL_PLL_VEML_Tracking", "1B", "veml"),
     _trk("Galileo_E1_DLL_PLL_VEML_Tracking_Fpga", "1B", "veml", "collapsed"),
     _trk("Galileo_E1_TCP_CONNECTOR_Tracking", "1B", "tcp_connector",
-         status="hardware"),
+         note="track.tcp_connector with the E1 sinBOC replica"),
     _trk("Galileo_E5a_DLL_PLL_Tracking", "5X"),
     _trk("Galileo_E5a_DLL_PLL_Tracking_Fpga", "5X", "dll_pll", "collapsed"),
     _trk("GLONASS_L1_CA_DLL_PLL_Tracking", "1G"),

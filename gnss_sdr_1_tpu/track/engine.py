@@ -1545,6 +1545,11 @@ class TrackingEngine:
         if samples_device.shape[0] < need:
             raise ValueError(f"capture must hold >= {need} samples")
         n_epochs = span // (self._t0_int - 2) + 2
+        if n_epochs > 0xFFFF:
+            # the tail row packs n_valid | active<<16 into one i32
+            raise ValueError(
+                "symbol-readback segments are capped at 65535 epochs; "
+                "split the capture into shorter segments")
         st, packed = self._capture_fn(
             samples_device, state, jnp.int32(span), jnp.int32(n_epochs),
             jnp.asarray(sym_off, dtype=jnp.int32),

@@ -47,10 +47,16 @@ def l5_run():
                                   noise=True))
     # the BeiDou lessons apply (round-5 diagnosis): a fine second-step
     # Doppler grid keeps the handoff inside the PLL pull-in range
+    # iono off: the synthetic capture carries no ionosphere, but the CNAV
+    # MT30 broadcast encodes zero alpha/beta coefficients which VALIDATE —
+    # and zero-coefficient Klobuchar still applies its 5 ns night floor,
+    # an elevation-spread false correction worth ~4 m of fix error
+    # (round-5 diagnosis: median 4.4 m -> 0.39 m)
     cfg = ReceiverConfig(
         fs_hz=FS, signal_id="L5", n_channels=5, prn_search=tuple(prns),
         acq_dwells=2, pll_bw_hz=18.0, dll_bw_hz=2.0,
-        doppler_step2_hz=15.0, num_doppler_bins_step2=40)
+        doppler_step2_hz=15.0, num_doppler_bins_step2=40,
+        iono_model="off")
     rx = Receiver(cfg)
     sols = rx.process(x)
     return scen, rx, sols
@@ -95,7 +101,8 @@ def e5a_run():
     cfg = ReceiverConfig(
         fs_hz=FS, signal_id="5X", n_channels=5, prn_search=tuple(prns),
         acq_dwells=2, pll_bw_hz=18.0, dll_bw_hz=2.0,
-        doppler_step2_hz=15.0, num_doppler_bins_step2=40)
+        doppler_step2_hz=15.0, num_doppler_bins_step2=40,
+        iono_model="off")
     rx = Receiver(cfg)
     sols = rx.process(x)
     return scen, rx, sols

@@ -85,13 +85,15 @@ def e5a_run():
     import dataclasses
 
     prns = [11, 12, 13, 14, 15]
-    # F/NAV pages 1-4 at 10 s each; page order (4,1,2,3) so a receiver
-    # starting mid-page completes the set by ~t+40 s
-    dur = 43.0
+    # F/NAV pages 1-4 at 10 s each: a receiver starting mid-page needs
+    # FOUR full pages after the clipped one — ephemeris completes at
+    # ~t+48.75 s (page 1 repeats at +40 in the 1,2,3,4 cycle), so 50 s
+    # leaves ~1 s of fixes
+    dur = 50.0
     scen = build_scenario(RX_ECEF, prns, t0_tow=345601.25, duration_s=dur,
                           cn0_dbhz=48.0, chip_rate=10.23e6,
                           carrier_freq=GALILEO_E5A.carrier_freq_hz,
-                          signal="5X", subframe_cycle=(4, 1, 2, 3))
+                          signal="5X")
     codes = {p: tracking_replica("5X", p)[0] for p in prns}
     spec = dataclasses.replace(GALILEO_E5A, bit_rate_bps=1000.0)
     x = cached_capture(

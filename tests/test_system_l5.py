@@ -111,14 +111,18 @@ def e5a_run():
 
 
 def test_e5a_channels_decode_fnav_ephemeris(e5a_run):
+    from gnss_sdr_1_tpu.telemetry.channel_adapters import (
+        GalileoE5aChannelDecoder)
+
     scen, rx, sols = e5a_run
     n = sum(1 for d in rx.decoders.values() if d.ephemeris_complete)
     assert n >= 4, f"only {n} F/NAV ephemerides decoded"
     for p, dec in rx.decoders.items():
+        assert isinstance(dec, GalileoE5aChannelDecoder)
         if dec.ephemeris_complete:
             assert dec.ephemeris.sqrt_a == pytest.approx(
                 scen.ephemerides[p].sqrt_a, abs=1e-3)
-            assert dec.ephemeris.system == "E"
+            assert {1, 2, 3, 4}.issubset(dec.raw.pages)
 
 
 def test_e5a_position_fix(e5a_run):

@@ -7,15 +7,19 @@ data_type_adapter/ + input_filter/ + resampler/, SURVEY.md §2.5):
     FFT block convolution (the TPU-idiomatic form of gr firdes filtering)
   * Direct_Resampler   -> nearest-previous-sample decimation
   * Notch/pulse-blanking -> notch_filter (spectral excision)
+  * Beamformer_Filter  -> fixed-weight array combiner (beamformer.cc)
 """
 
 from .filters import (
+    Beamformer,
     Conditioner,
     design_lowpass_fir,
     direct_resample,
     freq_xlating_fir,
+    steering_weights,
 )
 
 __all__ = [
-    "Conditioner", "design_lowpass_fir", "direct_resample", "freq_xlating_fir",
+    "Beamformer", "Conditioner", "design_lowpass_fir", "direct_resample",
+    "freq_xlating_fir", "steering_weights",
 ]

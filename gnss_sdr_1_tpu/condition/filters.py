@@ -154,3 +154,60 @@ class Conditioner:
         if outs:
             return np.concatenate(outs)
         return np.empty(0, dtype=np.complex64)
+
+
+# ------------------------------------------------------------- beamformer --
+
+def steering_weights(n_antennas: int, spacing_wavelengths: float = 0.5,
+                     steer_deg: float = 0.0) -> np.ndarray:
+    """Uniform-linear-array phase weights pointing a beam at `steer_deg`
+    from boresight.  With steer_deg=0 this reduces to the reference's
+    all-ones weight vector (beamformer.cc:57, weight_vector[i] = (1,0))."""
+    k = np.arange(n_antennas)
+    phase = -2.0 * np.pi * spacing_wavelengths * k * np.sin(
+        np.radians(steer_deg))
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+class Beamformer:
+    """Fixed-weight array combiner (Beamformer_Filter adapter,
+    beamformer_filter.cc + beamformer.cc work()): y[n] = sum_i w[i]*x_i[n]
+    over GNSS_SDR_BEAMFORMER_CHANNELS=8 antenna inputs.  The TPU form is a
+    planar [N, A, 2] x [A, 2] complex contraction in one jitted matmul —
+    MXU-friendly for large A, bandwidth-bound (one pass) for A=8.
+
+    Input: [N, A] complex (columns = antenna channels) or a list of A
+    equal-length streams.  Weights default to the reference's all-ones
+    vector; pass `steering_weights(...)` for a steered beam.
+    """
+
+    N_CHANNELS = 8   # GNSS_SDR_BEAMFORMER_CHANNELS
+
+    def __init__(self, weights: np.ndarray | None = None,
+                 n_antennas: int | None = None):
+        if weights is None:
+            weights = np.ones(n_antennas or self.N_CHANNELS, np.complex64)
+        self.weights = np.asarray(weights, dtype=np.complex64)
+
+    def process(self, x) -> np.ndarray:
+        if isinstance(x, (list, tuple)):
+            x = np.stack([np.asarray(c) for c in x], axis=1)
+        x = np.asarray(x, dtype=np.complex64)
+        if x.ndim != 2 or x.shape[1] != len(self.weights):
+            raise ValueError(
+                f"expected [N, {len(self.weights)}] array input, "
+                f"got {x.shape}")
+        y_p = _beamform_block(jnp.asarray(to_planar(x)),
+                              jnp.asarray(to_planar(self.weights)))
+        y = np.asarray(y_p)
+        return (y[..., 0] + 1j * y[..., 1]).astype(np.complex64)
+
+
+@jax.jit
+def _beamform_block(x_p: jax.Array, w_p: jax.Array) -> jax.Array:
+    """[N, A, 2] planar x [A, 2] planar -> [N, 2] complex contraction."""
+    xr, xi = x_p[..., 0], x_p[..., 1]
+    wr, wi = w_p[..., 0], w_p[..., 1]
+    yr = xr @ wr - xi @ wi
+    yi = xr @ wi + xi @ wr
+    return jnp.stack([yr, yi], axis=-1)

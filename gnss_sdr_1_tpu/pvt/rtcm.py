@@ -6,7 +6,10 @@ server wiring, print cadence from rtklib_pvt_gs.cc).  This module is a
 from-scratch encoder of the subset the receiver produces:
 
   MT1005/1006   station antenna reference point (DF002/003/021-028,+height)
-  MT1002        legacy GPS L1 C/A observables (rtcm.cc print_MT1002)
+  MT1029        unicode text string             (rtcm.cc print_MT1029)
+  MT1033        receiver + antenna descriptors  (MT1008 superset)
+  MT1001-1004   legacy GPS L1(/L2) observables (rtcm.cc print_MT1002 ...)
+  MT1012        legacy GLONASS dual-band observables
   MT1019        GPS LNAV ephemeris            (rtcm.cc print_MT1019)
   MT1020        GLONASS GNAV ephemeris        (rtcm.cc print_MT1020)
   MT1045        Galileo F/NAV ephemeris       (rtcm.cc print_MT1045)
@@ -187,6 +190,75 @@ def decode_mt1005(payload: bytes) -> dict:
     out["ecef_m"] = (x * 1e-4, y * 1e-4, z * 1e-4)
     if msgnum == 1006:
         out["height_m"] = r.u(16) * 1e-4
+    return out
+
+
+# --------------------------------------------------------------------------
+# MT1029 — unicode text string (rtcm.cc print_MT1029 :2008)
+# --------------------------------------------------------------------------
+
+def encode_mt1029(station_id: int, mjd: int, utc_seconds: int,
+                  message: str) -> bytes:
+    """Unicode text string (DF051 MJD, DF052 UTC s-of-day, DF138 code
+    units, DF139 UTF-8 byte count; rtcm.cc print_MT1029)."""
+    data = message.encode("utf-8")
+    if len(data) > 255:
+        raise ValueError("MT1029 text limited to 255 UTF-8 bytes")
+    w = BitWriter()
+    w.u(12, 1029).u(12, station_id).u(16, mjd).u(17, utc_seconds)
+    w.u(7, min(len(message), 127)).u(8, len(data))
+    payload = w.to_bytes()
+    return frame(payload + data)
+
+
+def decode_mt1029(payload: bytes) -> dict:
+    r = BitReader(payload)
+    assert r.u(12) == 1029
+    out = {"station_id": r.u(12), "mjd": r.u(16), "utc_seconds": r.u(17)}
+    r.u(7)
+    nbytes = r.u(8)
+    start = (r.pos + 7) // 8
+    out["message"] = payload[start:start + nbytes].decode("utf-8")
+    return out
+
+
+# --------------------------------------------------------------------------
+# MT1033 — receiver and antenna descriptors (rtcm.cc MT1008 superset)
+# --------------------------------------------------------------------------
+
+def _put_counted_ascii(w: BitWriter, text: str) -> None:
+    data = text.encode("ascii")[:31]
+    w.u(8, len(data))
+    for b in data:
+        w.u(8, b)
+
+
+def _get_counted_ascii(r: BitReader) -> str:
+    n = r.u(8)
+    return bytes(r.u(8) for _ in range(n)).decode("ascii")
+
+
+def encode_mt1033(station_id: int, antenna: str, setup_id: int = 0,
+                  antenna_serial: str = "", receiver: str = "",
+                  firmware: str = "", receiver_serial: str = "") -> bytes:
+    """Receiver and antenna descriptors (DF029/030 antenna, DF031 setup,
+    DF032/033 serial, DF227-232 receiver type/firmware/serial)."""
+    w = BitWriter()
+    w.u(12, 1033).u(12, station_id)
+    _put_counted_ascii(w, antenna)
+    w.u(8, setup_id)
+    for text in (antenna_serial, receiver, firmware, receiver_serial):
+        _put_counted_ascii(w, text)
+    return frame(w.to_bytes())
+
+
+def decode_mt1033(payload: bytes) -> dict:
+    r = BitReader(payload)
+    assert r.u(12) == 1033
+    out = {"station_id": r.u(12), "antenna": _get_counted_ascii(r)}
+    out["setup_id"] = r.u(8)
+    for key in ("antenna_serial", "receiver", "firmware", "receiver_serial"):
+        out[key] = _get_counted_ascii(r)
     return out
 
 

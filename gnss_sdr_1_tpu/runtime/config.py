@@ -215,6 +215,16 @@ def to_receiver_config(conf: InMemoryConfiguration,
             raise ValueError(
                 f"tracking '{trk_impl}' needs an external process/device "
                 f"({tinfo.note})")
+        if tinfo.strategy == "tcp_connector":
+            # native but standalone: one TCP round-trip per epoch cannot
+            # live inside the batched device capture loop — use
+            # track.tcp_connector.TcpConnectorTracking directly (the
+            # reference runs this block per-channel against an external
+            # MATLAB/Simulink process, gps_l1_ca_tcp_connector_tracking.cc)
+            raise ValueError(
+                f"tracking '{trk_impl}' closes its loop over TCP per epoch; "
+                "run it standalone via gnss_sdr_1_tpu.track.tcp_connector, "
+                "not inside the batched Receiver")
         track_engine = "kf" if tinfo.strategy == "kf" else "dll_pll"
     n_channels = int(conf.property(f"Channels{sig}.count",
                                    conf.property("Channels.count", 8)))

@@ -95,7 +95,8 @@ _BLOCKS = [
     BlockInfo("Notch_Filter_Lite", "filter", strategy="notch"),
     BlockInfo("Pulse_Blanking_Filter", "filter", strategy="pulse_blanking"),
     BlockInfo("Beamformer_Filter", "filter", strategy="beamformer",
-              status="hardware", note="multi-antenna array front-end"),
+              note="condition.Beamformer fixed-weight array combiner "
+                   "(multi-antenna capture files; RF array is hardware)"),
     # resamplers
     BlockInfo("Direct_Resampler", "resampler"),
     BlockInfo("Fractional_Resampler", "resampler"),
@@ -210,6 +211,8 @@ STRATEGY_IMPL: dict[tuple[str, str], tuple[str, str]] = {
                               "TrackingEngine"),
     ("tracking", "veml"): ("gnss_sdr_1_tpu.track.engine", "TrackingEngine"),
     ("tracking", "kf"): ("gnss_sdr_1_tpu.track.kf", "KfTrackingEngine"),
+    ("tracking", "tcp_connector"): ("gnss_sdr_1_tpu.track.tcp_connector",
+                                    "TcpConnectorTracking"),
 }
 
 

@@ -99,3 +99,44 @@ def test_notch_excises_cw_line():
     assert spec[line_bin] < 0.01 * 20.0 * n   # line nulled
     # a non-integer-bin CW line leaks across the skirt; a few % of bins go
     assert 0 < frac < 0.05
+
+
+def test_beamformer_matches_reference_sum_and_steers():
+    """Beamformer_Filter (beamformer.cc work()): default weights are the
+    reference's all-ones vector -> plain channel sum; steering weights give
+    the full array gain for a wavefront from the steer angle."""
+    from gnss_sdr_1_tpu.condition import Beamformer, steering_weights
+
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(2000, 8))
+         + 1j * rng.normal(size=(2000, 8))).astype(np.complex64)
+    y = Beamformer().process(x)
+    np.testing.assert_allclose(y, x.sum(axis=1), rtol=1e-5, atol=1e-5)
+    # list-of-streams input (the gr 8-port form)
+    y2 = Beamformer().process([x[:, i] for i in range(8)])
+    np.testing.assert_allclose(y2, y, rtol=1e-6)
+
+    # a unit wavefront from 30 deg off boresight on a half-wavelength ULA
+    # combines coherently (|y| = 8) under the matched steering weights,
+    # and incoherently (|y| ~ sqrt(8)) under all-ones
+    w = steering_weights(8, 0.5, 30.0)
+    sv = np.exp(1j * 2 * np.pi * 0.5 * np.arange(8)
+                * np.sin(np.radians(30.0)))
+    s = (np.exp(1j * 2 * np.pi * 0.001 * np.arange(2000))[:, None]
+         * sv[None, :]).astype(np.complex64)
+    gain_steered = np.abs(Beamformer(w).process(s)).mean()
+    gain_unsteered = np.abs(Beamformer().process(s)).mean()
+    assert abs(gain_steered - 8.0) < 1e-3
+    assert gain_unsteered < 4.0
+
+    with pytest.raises(ValueError):
+        Beamformer().process(x[:, :5])
+
+
+def test_beamformer_block_resolves_native():
+    """The factory row is no longer hardware-gated (VERDICT r4 §2:
+    InputFilter partial)."""
+    from gnss_sdr_1_tpu.runtime import factory
+
+    info = factory.resolve("Beamformer_Filter")
+    assert info.status == "native" and info.strategy == "beamformer"

@@ -449,3 +449,41 @@ def test_rtcm_base_observables_close_the_dgnss_loop():
     assert sol.valid
     err = np.linalg.norm(sol.rover_ecef_m - rover)
     assert err < 1.0, err
+
+
+def test_mt1029_unicode_text_roundtrip():
+    """MT1029 (rtcm.cc print_MT1029 :2008): DF051 MJD + DF052 UTC s-of-day
+    + UTF-8 payload with DF138/DF139 counts."""
+    from gnss_sdr_1_tpu.pvt import rtcm as R
+
+    text = "UTF-8 préambule test ✓"
+    f = R.encode_mt1029(1234, 57217, 86399, text)
+    num, payload = R.deframe(f)
+    assert num == 1029
+    d = R.decode_mt1029(payload)
+    assert d == {"station_id": 1234, "mjd": 57217, "utc_seconds": 86399,
+                 "message": text}
+    with pytest.raises(ValueError):
+        R.encode_mt1029(1, 0, 0, "x" * 300)
+
+
+def test_mt1033_descriptor_roundtrip():
+    """MT1033: counted-ASCII antenna/receiver descriptor fields
+    (DF029-033, DF227-232)."""
+    from gnss_sdr_1_tpu.pvt import rtcm as R
+
+    f = R.encode_mt1033(4095, "TRM59800.00 NONE", setup_id=3,
+                        antenna_serial="SN123",
+                        receiver="GNSS-SDR-1-TPU", firmware="r5",
+                        receiver_serial="RX9")
+    num, payload = R.deframe(f)
+    assert num == 1033
+    d = R.decode_mt1033(payload)
+    assert d["antenna"] == "TRM59800.00 NONE"
+    assert d["setup_id"] == 3
+    assert d["receiver"] == "GNSS-SDR-1-TPU"
+    assert d["receiver_serial"] == "RX9"
+    # empty descriptors stay empty, not padded
+    num2, p2 = R.deframe(R.encode_mt1033(1, "ANT"))
+    d2 = R.decode_mt1033(p2)
+    assert d2["firmware"] == "" and d2["antenna_serial"] == ""

@@ -238,6 +238,27 @@ def _get_counted_ascii(r: BitReader) -> str:
     return bytes(r.u(8) for _ in range(n)).decode("ascii")
 
 
+def encode_mt1008(station_id: int, antenna: str, setup_id: int = 0,
+                  antenna_serial: str = "") -> bytes:
+    """Antenna descriptor and serial number (DF029-033; rtcm.cc MT1008 —
+    the legacy subset of MT1033)."""
+    w = BitWriter()
+    w.u(12, 1008).u(12, station_id)
+    _put_counted_ascii(w, antenna)
+    w.u(8, setup_id)
+    _put_counted_ascii(w, antenna_serial)
+    return frame(w.to_bytes())
+
+
+def decode_mt1008(payload: bytes) -> dict:
+    r = BitReader(payload)
+    assert r.u(12) == 1008
+    out = {"station_id": r.u(12), "antenna": _get_counted_ascii(r)}
+    out["setup_id"] = r.u(8)
+    out["antenna_serial"] = _get_counted_ascii(r)
+    return out
+
+
 def encode_mt1033(station_id: int, antenna: str, setup_id: int = 0,
                   antenna_serial: str = "", receiver: str = "",
                   firmware: str = "", receiver_serial: str = "") -> bytes:

@@ -487,3 +487,13 @@ def test_mt1033_descriptor_roundtrip():
     num2, p2 = R.deframe(R.encode_mt1033(1, "ANT"))
     d2 = R.decode_mt1033(p2)
     assert d2["firmware"] == "" and d2["antenna_serial"] == ""
+
+
+def test_mt1008_antenna_descriptor_roundtrip():
+    from gnss_sdr_1_tpu.pvt import rtcm as R
+
+    num, p = R.deframe(R.encode_mt1008(99, "LEIAR25.R4 LEIT", 1, "725061"))
+    assert num == 1008
+    d = R.decode_mt1008(p)
+    assert d == {"station_id": 99, "antenna": "LEIAR25.R4 LEIT",
+                 "setup_id": 1, "antenna_serial": "725061"}

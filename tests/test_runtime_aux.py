@@ -1,6 +1,7 @@
 """Runtime auxiliary subsystem tests: config, assistance, telecommand,
 monitor records, printers."""
 
+import pathlib
 import socket
 
 import numpy as np
@@ -552,3 +553,53 @@ def test_nmea_gsa_gsv():
     assert len(gsv) == 2
     assert gsv[0].startswith("$GPGSV,2,1,05,03,45,120,44,")
     assert gsv[1].startswith("$GPGSV,2,2,05,28,05,090,33*")
+
+
+def test_analyze_dumps_tool(tmp_path):
+    """tools/analyze_dumps.py — the reference src/utils/matlab script role
+    (dll_pll_veml_plot_sample.m / plot_acq_grid.m / pvt plot): reads this
+    framework's dumps and reports sane statistics."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rng = np.random.default_rng(3)
+    n = 400
+    bits = np.repeat(rng.choice([-1, 1], size=n // 20), 20)
+    d = {
+        "start_sample": np.arange(n) * 4092.0,
+        "cur_len": np.full(n, 4092.0),
+        "prompt_i": 800 * bits + rng.normal(0, 40, n),
+        "prompt_q": rng.normal(0, 40, n),
+        "early_i": 400 * bits, "early_q": np.zeros(n),
+        "late_i": 400 * bits, "late_q": np.zeros(n),
+        "carrier_doppler_hz": 500 + rng.normal(0, 1, n),
+        "code_freq_delta": rng.normal(0, 0.01, n),
+        "rem_code_phase_samples": rng.uniform(0, 1, n),
+        "cn0_dbhz": 45 + rng.normal(0, 0.3, n),
+    }
+    f = tmp_path / "tracking_ch_prn01.npz"
+    np.savez_compressed(f, **d)
+    out = subprocess.run(
+        [sys.executable, str(root / "tools" / "analyze_dumps.py"),
+         "tracking", str(f)], capture_output=True, text=True, check=True)
+    stats = json.loads(out.stdout)
+    assert stats["epochs"] == n
+    assert abs(stats["doppler_hz_mean"] - 500) < 2
+    assert stats["iq_power_ratio_db"] > 15   # locked Costas: power in I
+
+    g = rng.random((1, 5, 64))
+    g[0, 2, 30] = 50.0
+    fa = tmp_path / "acq.npz"
+    np.savez_compressed(fa, grid=g, prns=[9],
+                        doppler_bins_hz=np.linspace(-1e3, 1e3, 5),
+                        fs_hz=4e6, test_stats=0)
+    out = subprocess.run(
+        [sys.executable, str(root / "tools" / "analyze_dumps.py"),
+         "acquisition", str(fa)], capture_output=True, text=True, check=True)
+    acq = json.loads(out.stdout)
+    assert acq["channels"][0]["delay_bin"] == 30
+    assert acq["channels"][0]["peak_ratio"] > 10

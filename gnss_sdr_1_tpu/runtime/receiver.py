@@ -361,6 +361,8 @@ class Receiver:
 
         self.state = self.trk.init_state()
         self.channel_prn: list[int | None] = [None] * cfg.n_channels
+        # host shadow of state.mode (host-written only; see _maybe_extend)
+        self._mode_host = np.zeros(cfg.n_channels, dtype=np.int32)
         self.decoders: dict[int, LnavDecoder] = {}
         self.histories: dict[int, ChannelEpochHistory] = {}
         self.sym_count: dict[int, int] = {}
@@ -452,6 +454,7 @@ class Receiver:
         idle_channels = [c for c, p in enumerate(self.channel_prn) if p is None]
         if not idle_channels:
             return
+        assigned: list[tuple[int, int]] = []
         assist = getattr(self, "_assist", None)
         acq_prog = self._assist_acq if self._assist_acq is not None else self.acq
         if self._acq_tong:
@@ -543,13 +546,10 @@ class Receiver:
                 from ..telemetry.channel_adapters import GpsL5ChannelDecoder
 
                 self.decoders[prn] = GpsL5ChannelDecoder(prn)
+            self._mode_host[ch] = 0
             self.histories[prn] = ChannelEpochHistory()
             self.sym_count[prn] = 0
-            # fractional code phase at the channel's first epoch start
-            # (sub-sample pseudorange resolution in the observables)
-            self.last_rem[prn] = float(
-                np.asarray(self.state.rem_code_phase_samples)[ch])
-            self.last_frac[prn] = self.last_rem[prn]
+            assigned.append((ch, prn))
             self.carrier_phase_acc.pop(prn, None)
             self.last_carr_rem.pop(prn, None)
             self._ledger_prev_start.pop(prn, None)
@@ -560,6 +560,15 @@ class Receiver:
             log.info("ch %d <- PRN %d (delay %.1f, doppler %.0f, stat %.1f)",
                      ch, prn, res.delay_samples[k], dops[k],
                      res.test_stat[k])
+        if assigned:
+            # fractional code phase at each new channel's first epoch start
+            # (sub-sample pseudorange resolution in the observables) — ONE
+            # device readback for the whole batch, not one per channel (the
+            # dev tunnel charges ~27 ms latency per transfer)
+            rems = np.asarray(self.state.rem_code_phase_samples)
+            for ch, prn in assigned:
+                self.last_rem[prn] = float(rems[ch])
+                self.last_frac[prn] = self.last_rem[prn]
 
     def _harvest(self, outs, block_offset_abs: int, decim: int = 1) -> None:
         """Stream tracking epochs into telemetry decoders + histories.
@@ -1015,7 +1024,10 @@ class Receiver:
         period = self._sec_period
         if n <= 1 or period is None or period % n != 0:
             return
-        mode = np.asarray(self.state.mode)
+        # state.mode is host-written only (activate_channel / enable_extended)
+        # — the host shadow avoids a per-segment device sync through the
+        # tunnel (~27 ms/transfer)
+        mode = self._mode_host
         for ch, prn in enumerate(self.channel_prn):
             if prn is None or mode[ch] != 0:
                 continue
@@ -1035,6 +1047,7 @@ class Receiver:
             self.state = self.trk.enable_extended(
                 self.state, ch, e,
                 sec_phase=sec_phase if sig != "1C" else None)
+            self._mode_host[ch] = 1
             log.info("ch %d PRN %d -> extended coherent (%d ms, boundary in "
                      "%d epochs)", ch, prn, n, e)
 
@@ -1390,7 +1403,7 @@ class Receiver:
         "rx_tow_sample", "solutions", "obs_epochs", "_blocks_done",
         "_next_obs_sample", "_standby", "_abs_base", "_no_tow_syms",
         "_acq_info", "_ledger_prev_start", "_ingest_scale", "_smoother",
-        "_sym_carry",
+        "_sym_carry", "_mode_host",
     )
 
     def checkpoint(self, path: str) -> None:

@@ -267,6 +267,12 @@ def run_bench() -> dict:
     e2e_fixes = 0
     if os.environ.get("GNSS_BENCH_E2E", "1") != "0":
         try:
+            # free the engine bench's HBM-resident capture first — the e2e
+            # receiver preloads its own ~1 GB planar buffer
+            del samples_dev
+            import gc
+
+            gc.collect()
             e2e_rtf, e2e_fixes = _bench_e2e()
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"e2e bench failed ({e!r}); engine-only line\n")
@@ -329,6 +335,11 @@ def _bench_e2e() -> tuple[float, int]:
     warm = make_rx()           # compile warmup (programs cached after this)
     warm.preload(x)
     warm.process(x)
+    warm._samples_dev = None   # release the warmup capture's HBM before the
+    del warm                   # timed receiver preloads its own ~1 GB buffer
+    import gc
+
+    gc.collect()
     rx = make_rx()
     rx.preload(x)              # HBM-resident ingest, excluded like engine
     t0 = time.time()

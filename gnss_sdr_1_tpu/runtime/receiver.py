@@ -745,6 +745,22 @@ class Receiver:
 
     # ---------------- symbol-grid harvest (compact readback) ----------
 
+    def _pull_in_done(self) -> bool:
+        """True once every active channel's telemetry is bit- (or
+        secondary-) synced — the steady-state criterion that lets the
+        capture loop use its full amortization window."""
+        any_active = False
+        for prn in self.channel_prn:
+            if prn is None:
+                continue
+            any_active = True
+            dec = self.decoders.get(prn)
+            if dec is None or (
+                    getattr(dec, "bit_offset", None) is None
+                    and getattr(dec, "sec_sync_offset", None) is None):
+                return False
+        return any_active
+
     def _symbol_offsets(self):
         """Per-channel symbol-boundary offsets (in [1, N]) for the compact
         capture readback, or None when any active channel can't run on the
@@ -1231,7 +1247,19 @@ class Receiver:
                 # sample coordinates (the tracking segment frame)
                 self._acquire_and_assign(
                     self._pos, samples[self._pos : self._pos + need])
-            n_blocks = min(seg_blocks, (total - self._pos - nmax) // base)
+            # long segments amortize per-dispatch latency, but they also set
+            # the channel-FSM cadence (re-acquisition, lock-loss detection).
+            # Keep segments short through pull-in — any idle channel or any
+            # active channel without bit sync — so satellites (re)acquire at
+            # the reference's channel-FSM latency, not once per amortization
+            # window (gnss_flowgraph.cc applies acquisition results as they
+            # arrive, independent of output cadence); steady state (every
+            # channel locked and bit-synced) gets the full window.
+            seg_now = seg_blocks
+            if any(p is None for p in self.channel_prn) \
+                    or not self._pull_in_done():
+                seg_now = min(seg_blocks, 25)
+            n_blocks = min(seg_now, (total - self._pos - nmax) // base)
             if n_blocks < 1:
                 break
             span = n_blocks * base

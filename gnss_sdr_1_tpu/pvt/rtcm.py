@@ -204,9 +204,11 @@ def encode_mt1029(station_id: int, mjd: int, utc_seconds: int,
     data = message.encode("utf-8")
     if len(data) > 255:
         raise ValueError("MT1029 text limited to 255 UTF-8 bytes")
+    if len(message) > 127:
+        raise ValueError("MT1029 text limited to 127 characters (DF138)")
     w = BitWriter()
     w.u(12, 1029).u(12, station_id).u(16, mjd).u(17, utc_seconds)
-    w.u(7, min(len(message), 127)).u(8, len(data))
+    w.u(7, len(message)).u(8, len(data))
     payload = w.to_bytes()
     return frame(payload + data)
 
@@ -227,7 +229,15 @@ def decode_mt1029(payload: bytes) -> dict:
 # --------------------------------------------------------------------------
 
 def _put_counted_ascii(w: BitWriter, text: str) -> None:
-    data = text.encode("ascii")[:31]
+    try:
+        data = text.encode("ascii")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            f"RTCM descriptor fields are ASCII (DF030/033/228/230/232): "
+            f"{text!r}") from e
+    if len(data) > 31:
+        raise ValueError(f"RTCM descriptor limited to 31 characters: "
+                         f"{text!r}")
     w.u(8, len(data))
     for b in data:
         w.u(8, b)

@@ -156,6 +156,15 @@ class FrontEnd:
                                              "Freq_Xlating_Fir_Filter"))
 
 
+_SINGLE_STREAM_REJECT = {
+    # native blocks that cannot ride the single-stream conf chain: the
+    # beamformer consumes an [N, n_antennas] array (the reference feeds it
+    # from the 8-port Raw_Array hardware source) — use
+    # condition.Beamformer on multi-channel captures directly
+    "Beamformer_Filter",
+}
+
+
 def build_frontend(conf: InMemoryConfiguration) -> FrontEnd:
     """Realize SignalConditioner/DataTypeAdapter/InputFilter/Resampler conf
     keys (conf/gnss-sdr_GPS_L1_ishort.conf conventions) as a FrontEnd."""
@@ -167,6 +176,12 @@ def build_frontend(conf: InMemoryConfiguration) -> FrontEnd:
     # it SignalSource.freq_IF
     if_freq = float(conf.property(
         "InputFilter.IF", conf.property("SignalSource.freq_IF", 0.0)))
+    filt = str(conf.property("InputFilter.implementation", "Pass_Through"))
+    if filt in _SINGLE_STREAM_REJECT:
+        raise ValueError(
+            f"InputFilter '{filt}' consumes a multi-antenna array, not the "
+            "single-stream conf chain; apply condition.Beamformer to the "
+            "multi-channel capture before the receiver")
     return FrontEnd(
         source_fs_hz=source,
         internal_fs_hz=internal,

@@ -363,6 +363,10 @@ class Receiver:
         self.channel_prn: list[int | None] = [None] * cfg.n_channels
         # host shadow of state.mode (host-written only; see _maybe_extend)
         self._mode_host = np.zeros(cfg.n_channels, dtype=np.int32)
+        # consecutive acquisitions that assigned nothing while channels
+        # were idle (caps the pull-in segment gating when channels
+        # outnumber visible satellites); any channel release resets it
+        self._empty_acq_streak = 0
         self.decoders: dict[int, LnavDecoder] = {}
         self.histories: dict[int, ChannelEpochHistory] = {}
         self.sym_count: dict[int, int] = {}
@@ -561,6 +565,7 @@ class Receiver:
                      ch, prn, res.delay_samples[k], dops[k],
                      res.test_stat[k])
         if assigned:
+            self._empty_acq_streak = 0
             # fractional code phase at each new channel's first epoch start
             # (sub-sample pseudorange resolution in the observables) — ONE
             # device readback for the whole batch, not one per channel (the
@@ -569,6 +574,8 @@ class Receiver:
             for ch, prn in assigned:
                 self.last_rem[prn] = float(rems[ch])
                 self.last_frac[prn] = self.last_rem[prn]
+        else:
+            self._empty_acq_streak += 1
 
     def _harvest(self, outs, block_offset_abs: int, decim: int = 1) -> None:
         """Stream tracking epochs into telemetry decoders + histories.
@@ -597,6 +604,7 @@ class Receiver:
                 if not bool(active[-1, ch]):
                     log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                     self.channel_prn[ch] = None
+                    self._empty_acq_streak = 0
                 continue
             # leaving symbol mode: complete the decoder's epoch stream first
             if self._sym_carry.get(prn, (0.0, 0))[1]:
@@ -731,6 +739,7 @@ class Receiver:
                         self.state = self.trk.deactivate_channel(
                             self.state, ch)
                         self.channel_prn[ch] = None
+                        self._empty_acq_streak = 0
                         self._no_tow_syms[prn] = 0
                         self.watchdog_trips += 1
                         continue
@@ -742,22 +751,30 @@ class Receiver:
             if not bool(active[-1, ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                 self.channel_prn[ch] = None
+                self._empty_acq_streak = 0
 
     # ---------------- symbol-grid harvest (compact readback) ----------
 
     def _pull_in_done(self) -> bool:
-        """True once every active channel's telemetry is bit- (or
-        secondary-) synced — the steady-state criterion that lets the
-        capture loop use its full amortization window."""
+        """True once every active channel is through pull-in — the
+        steady-state criterion that lets the capture loop use its full
+        amortization window.  Signals whose decoder reports bit/secondary
+        sync (1C bit sync; B1/5X/L5 secondary sync) use that; decoders
+        without a sync notion (symbol == epoch: 1B, 2S, GLONASS) count as
+        pulled in after one second of surviving epochs."""
         any_active = False
         for prn in self.channel_prn:
             if prn is None:
                 continue
             any_active = True
             dec = self.decoders.get(prn)
-            if dec is None or (
-                    getattr(dec, "bit_offset", None) is None
-                    and getattr(dec, "sec_sync_offset", None) is None):
+            if dec is None:
+                return False
+            if hasattr(dec, "bit_offset") or hasattr(dec, "sec_sync_offset"):
+                if getattr(dec, "bit_offset", None) is None \
+                        and getattr(dec, "sec_sync_offset", None) is None:
+                    return False
+            elif self.sym_count.get(prn, 0) < 1000:
                 return False
         return any_active
 
@@ -830,6 +847,7 @@ class Receiver:
                 if not bool(souts.active[ch]):
                     log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                     self.channel_prn[ch] = None
+                    self._empty_acq_streak = 0
                 continue
             dec = self.decoders.get(prn)
             base_sym = self.sym_count[prn]
@@ -905,6 +923,7 @@ class Receiver:
                         self.state = self.trk.deactivate_channel(
                             self.state, ch)
                         self.channel_prn[ch] = None
+                        self._empty_acq_streak = 0
                         self._no_tow_syms[prn] = 0
                         self.watchdog_trips += 1
                         continue
@@ -913,6 +932,7 @@ class Receiver:
             if not bool(souts.active[ch]):
                 log.info("ch %d PRN %d lost lock — releasing", ch, prn)
                 self.channel_prn[ch] = None
+                self._empty_acq_streak = 0
 
     def _monitor_tap(self, ch, prn, prompts, ep_starts, ep_dops, ep_cn0,
                      acc_series) -> None:
@@ -974,6 +994,7 @@ class Receiver:
             if self.channel_prn[ch] is not None:
                 self.state = self.trk.deactivate_channel(self.state, ch)
             self.channel_prn[ch] = None
+            self._empty_acq_streak = 0
         self.decoders.clear()
         self.histories.clear()
         self.solutions.clear()
@@ -1249,15 +1270,19 @@ class Receiver:
                     self._pos, samples[self._pos : self._pos + need])
             # long segments amortize per-dispatch latency, but they also set
             # the channel-FSM cadence (re-acquisition, lock-loss detection).
-            # Keep segments short through pull-in — any idle channel or any
-            # active channel without bit sync — so satellites (re)acquire at
-            # the reference's channel-FSM latency, not once per amortization
-            # window (gnss_flowgraph.cc applies acquisition results as they
-            # arrive, independent of output cadence); steady state (every
-            # channel locked and bit-synced) gets the full window.
+            # Keep segments short through pull-in — an idle channel with
+            # satellites still acquirable, or any active channel not yet
+            # through pull-in — so satellites (re)acquire at the reference's
+            # channel-FSM latency, not once per amortization window
+            # (gnss_flowgraph.cc applies acquisition results as they
+            # arrive, independent of output cadence).  Steady state gets the
+            # full window; so does a receiver with more channels than
+            # visible satellites (after several consecutive empty
+            # acquisitions the idle channels stop holding segments short).
             seg_now = seg_blocks
-            if any(p is None for p in self.channel_prn) \
-                    or not self._pull_in_done():
+            idle_wants_acq = any(p is None for p in self.channel_prn) \
+                and self._empty_acq_streak < 5
+            if idle_wants_acq or not self._pull_in_done():
                 seg_now = min(seg_blocks, 25)
             n_blocks = min(seg_now, (total - self._pos - nmax) // base)
             if n_blocks < 1:
@@ -1474,4 +1499,10 @@ class Receiver:
         for name in cls._CKPT_FIELDS:
             if blob.get(name) is not None:
                 setattr(rx, name, blob[name])
+        if blob.get("_mode_host") is None:
+            # checkpoint predates the host mode shadow: recover it from the
+            # device state once, else _maybe_extend would re-extend
+            # already-extended channels (resetting their coherent windows)
+            rx._mode_host = np.asarray(blob["track_state"].mode,
+                                       dtype=np.int32).copy()
         return rx

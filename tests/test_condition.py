@@ -135,8 +135,17 @@ def test_beamformer_matches_reference_sum_and_steers():
 
 def test_beamformer_block_resolves_native():
     """The factory row is no longer hardware-gated (VERDICT r4 §2:
-    InputFilter partial)."""
+    InputFilter partial) — but the single-stream conf chain refuses it
+    with a pointer to the array API (conf sources carry one stream; the
+    reference feeds its beamformer from the 8-port Raw_Array source)."""
     from gnss_sdr_1_tpu.runtime import factory
+    from gnss_sdr_1_tpu.runtime.config import (InMemoryConfiguration,
+                                               build_frontend)
 
     info = factory.resolve("Beamformer_Filter")
     assert info.status == "native" and info.strategy == "beamformer"
+    conf = InMemoryConfiguration({
+        "GNSS-SDR.internal_fs_sps": "4000000",
+        "InputFilter.implementation": "Beamformer_Filter"})
+    with pytest.raises(ValueError, match="multi-antenna"):
+        build_frontend(conf)

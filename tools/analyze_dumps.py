@@ -29,6 +29,14 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def _read_npz(path: str) -> dict:
+    """Plain npz read — keeps the tool jax-free for dump analysis
+    (runtime.dumps.read_tracking_dump does exactly this, but importing the
+    runtime package pulls the full receiver/jax stack)."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 def _fmt(v: float) -> str:
     return f"{v:.3f}" if abs(v) < 1e4 else f"{v:.6g}"
 
@@ -36,11 +44,11 @@ def _fmt(v: float) -> str:
 def analyze_tracking(path: str, plot: bool = False) -> dict:
     """Summary of one channel's tracking dump (dll_pll_veml_plot_sample.m
     panels: prompt constellation, CN0, Doppler, filter outputs)."""
-    from gnss_sdr_1_tpu.runtime.dumps import read_tracking_dump
-
-    d = read_tracking_dump(path)
+    d = _read_npz(path)
     pi, pq = d["prompt_i"], d["prompt_q"]
     n = len(pi)
+    if n == 0:
+        return {"epochs": 0}
     abs_p = np.hypot(pi, pq)
     # data-bit SNR proxy: |mean(|I|)| vs std(Q) (post-lock Costas alignment)
     out = {
@@ -144,6 +152,12 @@ def _plot_acq(grid, prns, dops, path: str) -> None:
 def analyze_position(path: str, truth=None, plot: bool = False) -> dict:
     """Position track summary (gps_l1_ca_pvt_plot_sample.m): mean/std and,
     with --truth, 2D/3D error statistics."""
+    # geodesy is numpy-only, but the package __init__ pulls jax — pin the
+    # CPU platform first (CLAUDE.md: JAX_PLATFORMS is overridden by the
+    # axon sitecustomize, set it after import jax)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from gnss_sdr_1_tpu.pvt.geodesy import llh_to_ecef
 
     lats, lons, hgts = [], [], []
@@ -181,6 +195,8 @@ def analyze_position(path: str, truth=None, plot: bool = False) -> dict:
     else:
         raise ValueError("position analysis reads .geojson or .nmea")
     lats, lons, hgts = map(np.asarray, (lats, lons, hgts))
+    if len(lats) == 0:
+        return {"fixes": 0}
     out = {
         "fixes": int(len(lats)),
         "lat_mean": float(lats.mean()), "lon_mean": float(lons.mean()),

@@ -220,6 +220,21 @@ def _pcps_step2(
     return grid, (delay, fine_doppler)
 
 
+@jax.jit
+def _pack_stats(stats):
+    """[4, C] f32: cfar, ratio, delay, doppler-bin index (one transfer)."""
+    stat_cfar, stat_ratio, delay, d_idx, _ = stats
+    return jnp.stack([stat_cfar, stat_ratio, delay,
+                      d_idx.astype(jnp.float32)])
+
+
+@jax.jit
+def _pack_fine(fine):
+    """[2, C] f32: fine delay + Doppler (one transfer)."""
+    return jnp.stack([fine[0].astype(jnp.float32),
+                      fine[1].astype(jnp.float32)])
+
+
 class PcpsAcquisition:
     """Multi-channel PCPS engine: one instance per (signal, fs) pair.
 
@@ -304,7 +319,12 @@ class PcpsAcquisition:
                 self._wipeoffs, grid,
                 cfg.effective_size, cfg.samples_per_code, cfg.samples_per_chip,
             )
-        stat_cfar, stat_ratio, delay, d_idx, _ = jax.device_get(stats)
+        # single packed d2h: the dev tunnel charges ~27 ms latency PER
+        # transfer, so the four [C] result rows ride one [4, C] array
+        # (input_power stays on device — unused here)
+        packed = _pack_stats(stats)
+        stat_cfar, stat_ratio, delay, didx_f = np.asarray(packed)
+        d_idx = didx_f.astype(np.int64)
         doppler = self._doppler_bins[d_idx]
         test_stat = stat_cfar if cfg.use_cfar else stat_ratio
 
@@ -326,7 +346,7 @@ class PcpsAcquisition:
                     cfg.samples_per_code, cfg.num_doppler_bins_step2,
                     cfg.fs_hz,
                 )
-            delay, doppler = jax.device_get(fine)
+            delay, doppler = np.asarray(_pack_fine(fine))
 
         return AcqResult(
             positive=np.asarray(test_stat) > self._threshold,
@@ -372,7 +392,9 @@ class PcpsAcquisition:
                 jnp.asarray(to_planar(blk)), self._code_fft_conj,
                 self._wipeoffs, zero_grid, cfg.effective_size,
                 cfg.samples_per_code, cfg.samples_per_chip)
-            stat_cfar, stat_ratio, delay, d_idx, _ = jax.device_get(stats)
+            stat_cfar, stat_ratio, delay, didx_f = np.asarray(
+                _pack_stats(stats))
+            d_idx = didx_f.astype(np.int64)
             stat = stat_cfar if cfg.use_cfar else stat_ratio
             hit = stat > self._threshold
             upd = ~decided

@@ -47,7 +47,21 @@ from ..utils.planar import to_planar, unpack_complex
 from .pcps import AcqConfig, AcqResult, _doppler_wipeoffs, _flat_argmax
 
 
+@jax.jit
+def _pack3(t):
+    """Stack a (stat, delay, d_idx) triple into one [3, C] f32 transfer."""
+    return jnp.stack([t[0].astype(jnp.float32), t[1].astype(jnp.float32),
+                      t[2].astype(jnp.float32)])
+
+
+def _get3(t):
+    stat, delay, didx = np.asarray(_pack3(t))
+    return stat, delay, didx.astype(np.int64)
+
+
+
 @functools.partial(jax.jit, static_argnames=("fold", "spc"))
+
 def _quicksync_core(x_p, codes_p, wipeoffs_p, fold: int, spc: int):
     """Folded PCPS: wipe off each Doppler bin over one code period, fold
     signal and replica by `fold`, correlate at spc/fold lags, then
@@ -142,7 +156,7 @@ class QuickSyncAcquisition:
         blk = np.zeros(spc, dtype=np.complex64)
         chunk = samples[:spc]
         blk[: len(chunk)] = chunk
-        stat, delay, d_idx = jax.device_get(_quicksync_core(
+        stat, delay, d_idx = _get3(_quicksync_core(
             jnp.asarray(to_planar(blk)), self._codes, self._wipeoffs,
             self.fold, spc))
         return AcqResult(
@@ -218,7 +232,7 @@ class CccwsrAcquisition:
         blk = np.zeros(F, dtype=np.complex64)
         chunk = samples[:F]
         blk[: len(chunk)] = chunk
-        stat, delay, d_idx = jax.device_get(_cccwsr_core(
+        stat, delay, d_idx = _get3(_cccwsr_core(
             jnp.asarray(to_planar(blk)), self._data_fft, self._pilot_fft,
             self._wipeoffs, cfg.effective_size, cfg.samples_per_code))
         return AcqResult(
@@ -360,7 +374,7 @@ class Pcps8msAcquisition:
         blk = np.zeros(F, dtype=np.complex64)
         chunk = samples[:F]
         blk[: len(chunk)] = chunk
-        stat, delay, d_idx = jax.device_get(_pcps_8ms_core(
+        stat, delay, d_idx = _get3(_pcps_8ms_core(
             jnp.asarray(to_planar(blk)), self._fft_a, self._fft_b,
             self._wipeoffs, 2 * cfg.samples_per_code, cfg.samples_per_code))
         return AcqResult(
@@ -451,7 +465,7 @@ class CafAcquisition:
         blk = np.zeros(F, dtype=np.complex64)
         chunk = samples[:F]
         blk[: len(chunk)] = chunk
-        stat, delay, d_idx = jax.device_get(_caf_iq_core(
+        stat, delay, d_idx = _get3(_caf_iq_core(
             jnp.asarray(to_planar(blk)), self._fft_i, self._fft_q,
             self._wipeoffs, jnp.int32(self._caf_half), cfg.effective_size))
         return AcqResult(
